@@ -1,0 +1,225 @@
+"""Core NN building blocks — functional, channel-last, TPU-first.
+
+Everything here is a pure function over explicit parameter pytrees (nested
+dicts of jnp arrays).  Layouts are channel-last throughout: 1-D feature maps
+are ``(B, T, C)`` and 2-D maps are ``(B, T, F, C)`` — time on the sublane
+axis, frequency/channels on the lane axis, which is the natural TPU tiling
+(the torch reference uses channels-first ``(B, C, T, F)``; the importer
+transposes weights once at load time).
+
+Weight layouts:
+  dense    w: (in, out), b: (out,)
+  conv1d   w: (k, in/groups, out)        [WIO]
+  conv2d   w: (kh, kw, in/groups, out)   [HWIO]
+Transposed convs take the SAME layout as their forward counterparts and are
+lowered to input-dilated convolutions (XLA has no native deconv; this is the
+standard formulation and fuses identically).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "dense",
+    "prelu",
+    "conv1d",
+    "conv2d",
+    "conv1d_transpose",
+    "conv2d_transpose",
+    "deconv_kernel",
+    "layer_norm",
+    "rms_norm",
+    "glorot",
+    "init_dense",
+    "init_conv1d",
+    "init_conv2d",
+]
+
+
+def dense(p, x):
+    """x: (..., in) @ w (in, out) + b."""
+    y = jnp.matmul(x, p["w"], preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def prelu(p, x):
+    """PReLU with per-channel (or scalar) slope ``p['alpha']`` on the last axis."""
+    a = p["alpha"]
+    return jnp.where(x >= 0, x, a * x)
+
+
+def _norm_pad(pad):
+    if isinstance(pad, int):
+        return (pad, pad)
+    return tuple(pad)
+
+
+def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
+    """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
+    y = lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(stride,),
+        padding=[_norm_pad(padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
+    """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout)."""
+    y = lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=tuple(stride),
+        padding=[_norm_pad(padding[0]), _norm_pad(padding[1])],
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv1d_transpose(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
+    """Channel-last transposed 1-D conv with torch ConvTranspose1d geometry.
+
+    ``w`` is stored as the *equivalent forward kernel* in WIO layout
+    (k, Cin/groups, Cout) — spatially pre-flipped, channels pre-arranged (use
+    :func:`deconv_kernel` to build it from a torch-layout deconv weight once
+    at import time, so the traced graph contains no kernel munging).
+    out_len = (T-1)*stride - 2*padding + dilation*(k-1) + 1.
+    """
+    k = p["w"].shape[0]
+    pad = padding if isinstance(padding, int) else padding[0]
+    eff = dilation * (k - 1)
+    y = lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(1,),
+        padding=[(eff - pad, eff - pad)],
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def conv2d_transpose(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
+    """Channel-last transposed 2-D conv (torch ConvTranspose2d geometry).
+
+    ``w``: equivalent forward kernel, HWIO (kh, kw, Cin/groups, Cout) — see
+    :func:`conv1d_transpose`.
+    """
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    ph = padding[0] if isinstance(padding[0], int) else padding[0][0]
+    pw = padding[1] if isinstance(padding[1], int) else padding[1][0]
+    effh, effw = dilation[0] * (kh - 1), dilation[1] * (kw - 1)
+    y = lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(1, 1),
+        padding=[(effh - ph, effh - ph), (effw - pw, effw - pw)],
+        lhs_dilation=tuple(stride),
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def deconv_kernel(w_torch: np.ndarray, groups: int = 1) -> np.ndarray:
+    """torch ConvTranspose{1,2}d weight → equivalent forward kernel ({W,HW}IO).
+
+    torch stores (Cin, Cout/groups, k...) where input channel i drives the
+    outputs of its own group.  The equivalent input-dilated forward conv needs
+    (k..., Cin/groups, Cout) with spatial axes flipped:
+    ``kernel[k, i_local, o_global(g, o_local)] = w[i_global(g, i_local), o_local, K-1-k]``.
+    """
+    w = np.asarray(w_torch)
+    cin = w.shape[0]
+    opg = w.shape[1]
+    spatial = w.shape[2:]
+    nsp = len(spatial)
+    ipg = cin // groups
+    w = w.reshape(groups, ipg, opg, *spatial)
+    # → (*spatial, ipg, groups, opg)
+    w = np.moveaxis(w, [0, 1, 2], [nsp + 1, nsp, nsp + 2])
+    w = w.reshape(*spatial, ipg, groups * opg)
+    return np.flip(w, axis=tuple(range(nsp))).copy()
+
+
+def layer_norm(p, x, *, ndims: int = 1, eps: float = 1e-5):
+    """LayerNorm over the trailing ``ndims`` axes with affine ``g``/``b``.
+
+    Matches torch ``nn.LayerNorm(normalized_shape)`` where ``normalized_shape``
+    has ``ndims`` dims (GTCRN's dual-path blocks use 2-D normalized shape
+    (width, hidden), /root/reference/GTCRN/Export_GTCRN.py:448,457).
+    """
+    axes = tuple(range(x.ndim - ndims, x.ndim))
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=axes, keepdims=True)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    if p is not None and "g" in p:
+        y = y * p["g"] + p["b"]
+    return y
+
+
+def rms_norm(p, x, *, eps: float = 1e-8):
+    """RMS normalisation over the last axis with optional gain."""
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    y = x * lax.rsqrt(ms + eps)
+    if p is not None and "g" in p:
+        y = y * p["g"]
+    return y
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Initialisers (for tests / random-weight runs; real weights come from the
+# checkpoint importer)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def glorot(key, shape, fan_in=None, fan_out=None):
+    if fan_in is None:
+        fan_in = int(np.prod(shape[:-1]))
+    if fan_out is None:
+        fan_out = shape[-1]
+    lim = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, jnp.float32, -lim, lim)
+
+
+def init_dense(key, din, dout, bias=True):
+    p = {"w": glorot(key, (din, dout))}
+    if bias:
+        p["b"] = jnp.zeros((dout,))
+    return p
+
+
+def init_conv1d(key, k, cin, cout, groups=1, bias=True):
+    p = {"w": glorot(key, (k, cin // groups, cout))}
+    if bias:
+        p["b"] = jnp.zeros((cout,))
+    return p
+
+
+def init_conv2d(key, kh, kw, cin, cout, groups=1, bias=True):
+    p = {"w": glorot(key, (kh, kw, cin // groups, cout))}
+    if bias:
+        p["b"] = jnp.zeros((cout,))
+    return p
