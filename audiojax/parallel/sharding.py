@@ -1,0 +1,62 @@
+"""Multi-chip serving: mesh construction + sharded inference steps.
+
+The reference is single-process/single-device; its only parallelism is the
+in-graph batch-fold over time windows (SURVEY.md §2.0).  The TPU-native
+analog scales that same axis across chips: a ``(dp, tp)`` mesh where
+
+  * ``dp`` (data parallel) shards the fold-window batch — each chip denoises
+    a disjoint set of 1.5 s windows; zero communication on the hot path, the
+    stitch is a reshape of an already-sharded axis.
+  * ``tp`` (tensor parallel) shards the frequency axis of the spectral
+    stages via sharding constraints; XLA inserts the (ICI) collectives where
+    the network mixes bins.
+
+Parameters are replicated (every model here is ≤ a few MB — the interesting
+axis is throughput over windows, not weight capacity).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "replicate", "shard_batch", "sharded_model_fn"]
+
+
+def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
+    """Build a ``(dp, tp)`` mesh over ``n_devices`` (default: all devices)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    n = len(devices)
+    if n % tp:
+        raise ValueError(f"{n} devices not divisible by tp={tp}")
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a parameter pytree across the whole mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(mesh: Mesh, x):
+    """Shard the leading (window-batch) axis over ``dp``."""
+    return jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+
+def sharded_model_fn(mesh: Mesh, model_fn, *, spectral_tp: bool = False):
+    """jit ``model_fn(params, audio)`` with dp-sharded batch I/O.
+
+    With ``spectral_tp`` the callee is expected to apply its own
+    ``with_sharding_constraint``s on spectral intermediates (frequency axis →
+    ``tp``); without it, tp>1 still works — XLA simply keeps those axes
+    replicated.
+    """
+    in_s = (NamedSharding(mesh, P()), NamedSharding(mesh, P("dp")))
+    out_s = NamedSharding(mesh, P("dp"))
+    return jax.jit(model_fn, in_shardings=in_s, out_shardings=out_s)
