@@ -1,0 +1,95 @@
+"""Command-line serving entry point.
+
+Replaces the reference's 14 cloned Inference_*.py scripts with one generic
+CLI driven by the model registry + manifest:
+
+    python -m audiojax.runtime.cli --model gtcrn --input noisy.wav --output clean.wav
+    python -m audiojax.runtime.cli --model nkf_aec --input near.wav far.wav --output out.wav
+    python -m audiojax.runtime.cli --list
+
+Without --artifact, parameters are randomly initialised (useful for smoke
+runs and benchmarking; real weights come from ``audiojax.importers``).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="audiojax", description=__doc__)
+    ap.add_argument("--model", help="model name (see --list)")
+    ap.add_argument("--input", nargs="*", default=[], help="input wav path(s)")
+    ap.add_argument("--output", help="output wav path (multi-source models append _0, _1, …)")
+    ap.add_argument("--artifact", help="artifact dir with params.msgpack + manifest.json")
+    ap.add_argument("--seed", type=int, default=0, help="random-params seed when no artifact")
+    ap.add_argument("--example", action="store_true", help="use the reference Test_Examples input")
+    ap.add_argument("--list", action="store_true", help="list registered models")
+    args = ap.parse_args(argv)
+
+    from . import registry
+
+    if args.list:
+        for n in registry.names():
+            print(n)
+        return 0
+
+    if not args.model:
+        ap.error("--model is required (or use --list)")
+    spec = registry.get(args.model)
+
+    import jax
+    import numpy as np
+
+    from .audio_io import read_wav, resample_np, to_mono, write_wav
+    from .checkpoint import load_artifact
+    from .session import Session
+
+    cfg = spec.make_config()
+    if args.artifact:
+        params, manifest = load_artifact(args.artifact)
+    else:
+        print(f"note: no --artifact given; using randomly initialised {spec.name} params", file=sys.stderr)
+        params = spec.init_params(jax.random.PRNGKey(args.seed), cfg)
+        manifest = spec.make_manifest(cfg)
+
+    inputs = [Path(p) for p in args.input]
+    if args.example and not inputs:
+        ex = registry.example_audio(spec.name)
+        if ex is None:
+            print(f"no example audio available for {spec.name}", file=sys.stderr)
+            return 2
+        inputs = list(ex)
+    if len(inputs) != manifest.num_audio_inputs:
+        print(f"{spec.name} needs {manifest.num_audio_inputs} input wav(s), got {len(inputs)}", file=sys.stderr)
+        return 2
+
+    audios = []
+    for p in inputs:
+        data, rate = read_wav(p)
+        if manifest.input_channels == 1:
+            data = to_mono(data)[None]
+        data = resample_np(data, rate, manifest.in_sample_rate)
+        audios.append(data)
+
+    session = Session(spec.make_forward(cfg), params, manifest)
+    result = session.process(*audios)
+
+    out_base = Path(args.output) if args.output else inputs[0].with_name(inputs[0].stem + f".{spec.name}.wav")
+    written = []
+    if len(result.outputs) == 1:
+        written.append(write_wav(out_base, result.outputs[0], manifest.out_sample_rate))
+    else:
+        for i, o in enumerate(result.outputs):
+            written.append(
+                write_wav(out_base.with_name(out_base.stem + f"_{i}" + out_base.suffix), o, manifest.out_sample_rate)
+            )
+    for w in written:
+        print(f"wrote {w}")
+    print(f"RTF: {result.rtf:.4f}  ({result.elapsed_s*1e3:.1f} ms for {result.audio_duration_s:.2f} s audio)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""Model registry: one place mapping model names → configs/builders/manifests.
+
+Replaces the reference's per-model script cloning (14 near-identical
+Inference_*.py) and its demo-audio registry (/root/reference/Example_Audio.py)
+with data: every model registers a spec; the session/CLI are generic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable
+
+from .manifest import Manifest
+
+_REFERENCE_EXAMPLES = Path("/root/reference/Test_Examples")
+
+# name → (relative demo wav paths per input), mirroring Example_Audio.py:6-21
+EXAMPLE_AUDIO = {
+    "gtcrn": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "ul_unas": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "zipenhancer": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "mossformergan_se": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "mossformer2_se": ("denoise/examples_PM1_OFFICE_48K.wav",),
+    "dfsmn": ("denoise/examples_PM1_OFFICE_48K.wav",),
+    "h_gtcrn": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "nkf_aec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
+    "sdaec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
+    "deep_echo": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
+    "dfsmn_aec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
+    "mossformer2_ss": ("separation/mixed_speech.wav",),
+    "melband_roformer": ("vocal_separation/音乐人声分离_16K.wav",),
+    "mossformer2_sr": ("super_resolution/basic_ref_zh.wav",),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    task: str
+    make_config: Callable[..., object]
+    init_params: Callable[..., object]  # (key, cfg) -> params
+    make_forward: Callable[[object], Callable]  # cfg -> fn(params, *audios)
+    make_manifest: Callable[[object], Manifest]  # cfg -> Manifest
+
+
+_REGISTRY: dict[str, ModelSpec] = {}
+
+
+def register(spec: ModelSpec) -> ModelSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get(name: str) -> ModelSpec:
+    _ensure_builtin()
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def names() -> list[str]:
+    _ensure_builtin()
+    return sorted(_REGISTRY)
+
+
+def example_audio(name: str) -> tuple[Path, ...] | None:
+    rel = EXAMPLE_AUDIO.get(name)
+    if rel is None:
+        return None
+    paths = tuple(_REFERENCE_EXAMPLES / r for r in rel)
+    return paths if all(p.exists() for p in paths) else None
+
+
+_BUILTIN_LOADED = False
+
+
+def _ensure_builtin():
+    global _BUILTIN_LOADED
+    if _BUILTIN_LOADED:
+        return
+    _BUILTIN_LOADED = True
+    from . import builtin_models  # noqa: F401  (registers on import)

@@ -1,0 +1,152 @@
+"""Serving session: manifest-driven windowing, batching, stitching, RTF.
+
+Parity target: the reference inference template
+(/root/reference/GTCRN/Inference_GTCRN_ONNX.py:260-344) — fixed-size window
+slicing with tail zero-pad, optional RMS normalisation, PAD_HEAD warm-up
+prefix, per-source output trimming, Hann-taper overlap-add for
+super-resolution (/root/reference/MossFormer2_Super_Resolution/
+Inference_MossFormer_SR_ONNX.py:280-338), and an RTF report.
+
+TPU-native difference: instead of a host loop running one window per
+``session.run``, ALL windows are stacked on the batch axis and processed in a
+single jitted call — the window loop becomes device-side data parallelism
+(and shards across chips via audiojax.parallel).  Note: under the axon tunnel
+``block_until_ready`` is async; a host transfer is the only true sync, which
+``np.asarray`` on the outputs provides.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from .audio_io import normalise_rms
+from .manifest import Manifest
+
+__all__ = ["Session", "SessionResult"]
+
+
+@dataclass
+class SessionResult:
+    outputs: tuple[np.ndarray, ...]  # per output source, int16 (n,)
+    rtf: float
+    elapsed_s: float
+    audio_duration_s: float
+
+    @property
+    def audio(self) -> np.ndarray:
+        return self.outputs[0]
+
+
+class Session:
+    """Runs ``model_fn(params, *audio_batches) -> out | (outs…)`` per manifest."""
+
+    def __init__(self, model_fn, params, manifest: Manifest, *, jit: bool = True):
+        self.manifest = manifest
+        self.cfg = manifest.runtime_config()
+        self.params = params
+        self.fn = jax.jit(model_fn) if jit else model_fn
+
+    # ── host-side conditioning ───────────────────────────────────────────
+
+    def _condition(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.asarray(audio)
+        if audio.ndim == 1:
+            audio = audio[None]  # (channels, n)
+        if audio.shape[0] != self.cfg["INPUT_CHANNELS"]:
+            if self.cfg["INPUT_CHANNELS"] == 1:
+                audio = np.round(audio.astype(np.float32).mean(0, keepdims=True)).astype(np.int16)
+            else:
+                raise ValueError(
+                    f"model expects {self.cfg['INPUT_CHANNELS']} channels, got {audio.shape[0]}"
+                )
+        if self.cfg["NORMALIZE_AUDIO"]:
+            audio = normalise_rms(audio, self.cfg["NORMALIZE_TARGET_RMS"])
+        return audio
+
+    def _window_geometry(self, n: int):
+        w = self.cfg["INPUT_AUDIO_LENGTH"]
+        overlap = self.cfg["OVERLAP_LENGTH"]
+        stride = w - overlap if overlap else w
+        if n <= w:
+            return w, stride, 1
+        num = int(np.ceil((n - w) / stride)) + 1
+        return w, stride, num
+
+    # ── main entry ───────────────────────────────────────────────────────
+
+    def process(self, *audios: np.ndarray) -> SessionResult:
+        """Enhance one clip (AEC passes two clips: near_end, far_end)."""
+        if len(audios) != self.cfg["NUM_AUDIO_INPUTS"]:
+            raise ValueError(
+                f"model expects {self.cfg['NUM_AUDIO_INPUTS']} audio inputs, got {len(audios)}"
+            )
+        conditioned = [self._condition(a) for a in audios]
+        n = max(a.shape[-1] for a in conditioned)
+        pad_head = self.cfg["PAD_HEAD"]
+        prepped = []
+        for a in conditioned:
+            if a.shape[-1] < n:
+                a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
+            if pad_head:
+                a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(pad_head, 0)])
+            prepped.append(a)
+        total = n + pad_head
+
+        w, stride, num = self._window_geometry(total)
+        need = (num - 1) * stride + w
+        batches = []
+        for a in prepped:
+            if a.shape[-1] < need:
+                a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, need - a.shape[-1])])
+            wins = np.stack([a[..., s : s + w] for s in range(0, num * stride, stride)])
+            # (num, channels, w) → model contract is (batch, w) for mono
+            batches.append(wins[:, 0] if wins.shape[1] == 1 else wins)
+
+        start = time.perf_counter()
+        out = self.fn(self.params, *[jax.numpy.asarray(b) for b in batches])
+        outs = tuple(out) if isinstance(out, (tuple, list)) else (out,)
+        outs = tuple(np.asarray(o) for o in outs)  # true sync
+        elapsed = time.perf_counter() - start
+
+        scale = self.cfg["INPUT_TO_OUTPUT_SCALE"]
+        out_total = int(round(n * scale))
+        head_out = int(round(pad_head * scale))
+        stitched = tuple(self._stitch(o, stride, scale)[head_out : head_out + out_total] for o in outs)
+
+        duration = out_total / self.cfg["OUT_SAMPLE_RATE"]
+        return SessionResult(
+            outputs=stitched,
+            rtf=elapsed / duration if duration > 0 else float("inf"),
+            elapsed_s=elapsed,
+            audio_duration_s=duration,
+        )
+
+    def _stitch(self, windows: np.ndarray, stride_in: int, scale: float) -> np.ndarray:
+        """(num, w_out) → (n,): butt-join, or Hann-taper OLA when overlapped."""
+        num, w_out = windows.shape[0], windows.shape[-1]
+        stride_out = int(round(stride_in * scale))
+        if num == 1:
+            return windows[0]
+        overlap = w_out - stride_out
+        if overlap <= 0:
+            return windows.reshape(-1)
+        taper = np.ones(w_out, np.float32)
+        ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(overlap) + 1) / (overlap + 1))
+        taper[:overlap] = ramp
+        taper[-overlap:] = ramp[::-1]
+        total = (num - 1) * stride_out + w_out
+        acc = np.zeros(total, np.float32)
+        norm = np.zeros(total, np.float32)
+        for i in range(num):
+            s = i * stride_out
+            t = taper.copy()
+            if i == 0:
+                t[:overlap] = 1.0
+            if i == num - 1:
+                t[-overlap:] = 1.0
+            acc[s : s + w_out] += windows[i].astype(np.float32) * t
+            norm[s : s + w_out] += t
+        return np.clip(np.round(acc / np.maximum(norm, 1e-7)), -32768, 32767).astype(np.int16)

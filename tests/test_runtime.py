@@ -1,0 +1,134 @@
+"""Runtime layer: manifest contract, wav IO, session windowing, checkpoint."""
+import numpy as np
+import pytest
+
+import jax
+
+from audiojax.runtime import (
+    Manifest,
+    Session,
+    load_artifact,
+    read_wav,
+    resample_np,
+    save_artifact,
+    to_mono,
+    write_wav,
+)
+from audiojax.runtime.manifest import REQUIRED_KEYS, validate_manifest_dict
+from audiojax.runtime import registry
+
+
+def _manifest(**kw):
+    base = dict(
+        model_name="test",
+        task="denoise",
+        model_family="T",
+        in_sample_rate=16000,
+        out_sample_rate=16000,
+        model_sample_rate=16000,
+        input_audio_length=4000,
+    )
+    base.update(kw)
+    return Manifest(**base)
+
+
+def test_manifest_roundtrip(tmp_path):
+    m = _manifest(hop_length=256, fold_window_length=24064)
+    p = m.save(tmp_path / "manifest.json")
+    m2 = Manifest.load(p)
+    assert m2 == m
+    cfg = m2.runtime_config()
+    assert cfg["FOLD_WINDOW_LENGTH"] == 24064
+    assert cfg["INPUT_TO_OUTPUT_SCALE"] == 1.0
+
+
+def test_manifest_fail_closed():
+    data = {k: "x" for k in REQUIRED_KEYS}
+    del data["task"]
+    with pytest.raises(KeyError, match="task"):
+        validate_manifest_dict(data)
+    with pytest.raises(ValueError, match="unknown task"):
+        _manifest(task="nope")
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 5000)) * 8000).astype(np.int16)
+    p = write_wav(tmp_path / "x.wav", audio, 16000)
+    back, rate = read_wav(p)
+    assert rate == 16000
+    np.testing.assert_array_equal(back, audio)
+    mono = to_mono(back)
+    assert mono.shape == (5000,)
+
+
+def test_resample_np_lengths():
+    x = (np.sin(np.arange(16000) / 30) * 10000).astype(np.int16)
+    y = resample_np(x, 16000, 48000)
+    assert y.shape[-1] == 48000
+    z = resample_np(y, 48000, 16000)
+    assert z.shape[-1] == 16000
+    # energy roughly preserved through the round trip
+    assert abs(float(np.abs(z.astype(float)).mean()) / float(np.abs(x.astype(float)).mean()) - 1) < 0.05
+
+
+def _echo_model(params, audio):
+    """Deterministic toy model: negate samples (shape-preserving, int16)."""
+    return (-audio).astype(audio.dtype)
+
+
+def test_session_windowing_and_stitch():
+    m = _manifest(input_audio_length=4000)
+    s = Session(_echo_model, {}, m, jit=False)
+    x = (np.arange(10_500) % 2000 - 1000).astype(np.int16)
+    res = s.process(x)
+    assert res.outputs[0].shape == (10_500,)
+    np.testing.assert_array_equal(res.outputs[0], -x)
+    assert res.rtf > 0
+
+
+def test_session_pad_head_trim():
+    m = _manifest(input_audio_length=4000, pad_head=500)
+    s = Session(_echo_model, {}, m, jit=False)
+    x = (np.ones(6000) * 100).astype(np.int16)
+    res = s.process(x)
+    assert res.outputs[0].shape == (6000,)
+    np.testing.assert_array_equal(res.outputs[0], -x)
+
+
+def test_session_input_count_check():
+    s = Session(_echo_model, {}, _manifest(), jit=False)
+    with pytest.raises(ValueError, match="audio inputs"):
+        s.process(np.zeros(100, np.int16), np.zeros(100, np.int16))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": {"w": np.ones((3, 4), np.float32)}, "b": np.zeros(5, np.float32)}
+    m = _manifest()
+    save_artifact(tmp_path / "art", params, m)
+    p2, m2 = load_artifact(tmp_path / "art")
+    assert m2 == m
+    np.testing.assert_array_equal(np.asarray(p2["a"]["w"]), params["a"]["w"])
+
+
+def test_registry_has_gtcrn():
+    assert "gtcrn" in registry.names()
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    man = spec.make_manifest(cfg)
+    assert man.task == "denoise"
+    assert man.nfft == 512
+
+
+def test_cli_end_to_end(tmp_path):
+    from audiojax.runtime.cli import main
+
+    rng = np.random.default_rng(1)
+    noisy = (rng.standard_normal(20000) * 6000).astype(np.int16)
+    inp = write_wav(tmp_path / "noisy.wav", noisy, 16000)
+    out = tmp_path / "clean.wav"
+    rc = main(["--model", "gtcrn", "--input", str(inp), "--output", str(out)])
+    assert rc == 0
+    cleaned, rate = read_wav(out)
+    assert rate == 16000
+    assert cleaned.shape[-1] == 20000
