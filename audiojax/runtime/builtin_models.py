@@ -41,4 +41,48 @@ def _register_gtcrn():
     )
 
 
+def _dfsmn_manifest(cfg):
+    return Manifest(
+        model_name="dfsmn",
+        task="denoise",
+        model_family="dfsmn",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=96000 * cfg.in_sample_rate // 48000,
+        window_type="hamming_symmetric",
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode="constant",
+        center_pad=False,
+        max_dynamic_audio_seconds=6,
+        feature_kind="kaldi_fbank_stft",
+        fold_window_length=cfg.fold_window,
+        batch_fold_inference_default=bool(cfg.fold_window),
+        extra={
+            "n_mels": cfg.n_mels,
+            "kaldi_nfft": cfg.kaldi_nfft,
+            "preemph_coeff": cfg.preemph,
+            "istft_window_type": "hamming_periodic",
+        },
+    )
+
+
+def _register_dfsmn():
+    from ..models.dfsmn import DfsmnConfig, init_dfsmn, make_dfsmn
+
+    register(
+        ModelSpec(
+            name="dfsmn",
+            task="denoise",
+            make_config=DfsmnConfig,
+            init_params=init_dfsmn,
+            make_forward=make_dfsmn,
+            make_manifest=_dfsmn_manifest,
+        )
+    )
+
+
 _register_gtcrn()
+_register_dfsmn()
