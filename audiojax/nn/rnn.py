@@ -36,6 +36,22 @@ def _split3(a, h):
     return a[..., :h], a[..., h : 2 * h], a[..., 2 * h :]
 
 
+def gru_cell(p, x, h):
+    """One GRU step: x (..., in), h (..., H) → h' (..., H).
+
+    Used by models that run their own recurrence (e.g. the NKF-AEC Kalman
+    scan, where each Kalman frame advances four GRU states by one step)."""
+    hidden = p["w_h"].shape[0]
+    xt = jnp.matmul(x, p["w_i"]) + p["b_i"]
+    gh = jnp.matmul(h, p["w_h"]) + p["b_h"]
+    xr, xz, xn = _split3(xt, hidden)
+    hr, hz, hn = _split3(gh, hidden)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def gru(p, x, h0=None, *, reverse: bool = False, return_state: bool = False):
     """GRU over ``x (B, T, in)`` → ``(B, T, H)`` (torch cell semantics)."""
     w_h = p["w_h"]

@@ -84,5 +84,43 @@ def _register_dfsmn():
     )
 
 
+def _nkf_manifest(cfg):
+    return Manifest(
+        model_name="nkf_aec",
+        task="aec",
+        model_family="nkf",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=32000 * cfg.in_sample_rate // 16000,
+        window_type=cfg.window,
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode="constant",
+        center_pad=True,
+        num_audio_inputs=2,
+        fold_window_length=cfg.fold_window,
+        batch_fold_inference_default=bool(cfg.fold_window),
+        extra={"filter_order": cfg.filter_order, "fc_dim": cfg.fc_dim, "rnn_dim": cfg.rnn_dim},
+    )
+
+
+def _register_nkf():
+    from ..models.nkf_aec import NkfConfig, init_nkf, make_nkf
+
+    register(
+        ModelSpec(
+            name="nkf_aec",
+            task="aec",
+            make_config=NkfConfig,
+            init_params=init_nkf,
+            make_forward=make_nkf,
+            make_manifest=_nkf_manifest,
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
+_register_nkf()
