@@ -121,6 +121,42 @@ def _register_nkf():
     )
 
 
+def _ul_unas_manifest(cfg):
+    return Manifest(
+        model_name="ul_unas",
+        task="denoise",
+        model_family="ul-unas",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=32000 * cfg.in_sample_rate // 16000,
+        window_type=cfg.window,
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode=cfg.pad_mode,
+        center_pad=True,
+        fold_window_length=cfg.fold_window,
+        batch_fold_inference_default=bool(cfg.fold_window),
+    )
+
+
+def _register_ul_unas():
+    from ..models.ul_unas import UlUnasConfig, init_ul_unas, make_ul_unas
+
+    register(
+        ModelSpec(
+            name="ul_unas",
+            task="denoise",
+            make_config=UlUnasConfig,
+            init_params=init_ul_unas,
+            make_forward=make_ul_unas,
+            make_manifest=_ul_unas_manifest,
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
 _register_nkf()
+_register_ul_unas()
