@@ -156,7 +156,64 @@ def _register_ul_unas():
     )
 
 
+def _aec319_manifest(name, family, cfg, extra):
+    return Manifest(
+        model_name=name,
+        task="aec",
+        model_family=family,
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=160000 * cfg.in_sample_rate // 16000,
+        window_type=cfg.window,
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode="constant",
+        center_pad=True,
+        num_audio_inputs=2,
+        max_dynamic_audio_seconds=30,
+        extra=extra,
+    )
+
+
+def _register_sdaec():
+    from ..models.sdaec import SdaecConfig, init_sdaec, make_sdaec
+
+    register(
+        ModelSpec(
+            name="sdaec",
+            task="aec",
+            make_config=SdaecConfig,
+            init_params=init_sdaec,
+            make_forward=make_sdaec,
+            make_manifest=lambda cfg: _aec319_manifest(
+                "sdaec", "sdaec", cfg, {"alpha_k": cfg.alpha_k}
+            ),
+        )
+    )
+
+
+def _register_deep_echo():
+    from ..models.deep_echo import DeepEchoConfig, init_deep_echo, make_deep_echo
+
+    register(
+        ModelSpec(
+            name="deep_echo",
+            task="aec",
+            make_config=DeepEchoConfig,
+            init_params=init_deep_echo,
+            make_forward=make_deep_echo,
+            make_manifest=lambda cfg: _aec319_manifest(
+                "deep_echo", "deep-echo", cfg, {"echo_order": cfg.echo_order}
+            ),
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
 _register_nkf()
 _register_ul_unas()
+_register_sdaec()
+_register_deep_echo()
