@@ -1,0 +1,238 @@
+"""MossFormer-family blocks: FLASH (GAU) attention + gated FSMN.
+
+Parity target: the inlined ClearVoice MossFormer2 layers of
+/root/reference/MossFormer2_SE_48K/Export_MossFormer_SE.py:391-479 (shared by
+MossFormerGAN-SE, MossFormer2-SS and MossFormer2-SR with small variations):
+
+  FLASH_ShareA_FFConvM layer
+    token shift (half channels shifted one frame) → shared ScaleNorm →
+    fused to_hidden‖to_qk Linear + SiLU + depthwise ConvModule residual →
+    OffsetScale into 4 heads (quad_q, lin_q, quad_k, lin_k) → rotary on the
+    first rot_dim channels → group-chunked quadratic attention
+    relu(q kᵀ / g)² plus global linear attention (k v / n) → gate
+    (att_u·v)·σ(att_v·u) → to_out ScaleNorm + Linear + SiLU + ConvModule →
+    residual.
+
+  Gated_FSMN_Block
+    1×1 conv (dim→inner) + PReLU → LN → gated FSMN (fused to_u‖to_v FFConvM,
+    UniDeepFsmn memory with symmetric pad) → LN → 1×1 conv (inner→dim) →
+    residual.
+
+Channel-last (B, T, C).  Rotary/positional tables are numpy-precomputed.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import core
+
+__all__ = [
+    "scale_norm",
+    "ff_convm",
+    "flash_layer",
+    "gated_fsmn_block",
+    "rotary_tables",
+    "sinusoid_positions",
+    "apply_rotary",
+    "init_ff_convm",
+    "init_flash_layer",
+    "init_gated_fsmn_block",
+]
+
+
+def scale_norm(p, x, *, eps: float = 1e-5):
+    """ScaleNorm: g · x / (‖x‖₂ · d^{-1/2} + eps)."""
+    d = x.shape[-1]
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * (d**-0.5)
+    return x * (p["g"] / (norm + eps))
+
+
+def _depthwise_res(p, x, pad: int):
+    """ConvModule: x + depthwise_conv(x) over time; w (k, 1, C)."""
+    return x + core.conv1d(p, x, padding=pad, groups=x.shape[-1])
+
+
+def ff_convm(p, x, *, norm: str = "scale", eps: float = 1e-5):
+    """FFConvM: norm → Linear → SiLU → depthwise ConvModule residual."""
+    if norm == "scale":
+        y = scale_norm(p["norm"], x, eps=eps)
+    elif norm == "layer":
+        y = core.layer_norm(p.get("norm"), x, eps=eps)
+    else:
+        y = x
+    y = jax.nn.silu(core.dense(p["lin"], y))
+    k = p["conv"]["w"].shape[0]
+    return _depthwise_res(p["conv"], y, (k - 1) // 2)
+
+
+@lru_cache(maxsize=None)
+def _rotary_tables_np(length: int, rot_dim: int, theta: float = 10000.0):
+    freqs = 1.0 / (theta ** (np.arange(0, rot_dim, 2, dtype=np.float64) / rot_dim))
+    ang = np.arange(length, dtype=np.float64)[:, None] * freqs[None, :]  # (T, rot/2)
+    ang = np.repeat(ang, 2, axis=-1)  # interleave duplicate: (T, rot)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rotary_tables(length: int, rot_dim: int):
+    c, s = _rotary_tables_np(length, rot_dim)
+    return jnp.asarray(c), jnp.asarray(s)
+
+
+def apply_rotary(x, cos, sin, rot_dim: int):
+    """RoPE on the first ``rot_dim`` channels (interleaved-pair convention,
+    Export_MossFormer_SE.py:407-409). x: (..., T, D); cos/sin: (T, rot_dim)."""
+    mid, rest = x[..., :rot_dim], x[..., rot_dim:]
+    half = jnp.stack([-mid[..., 1::2], mid[..., 0::2]], axis=-1).reshape(mid.shape)
+    rotated = mid * cos + half * sin
+    return jnp.concatenate([rotated, rest], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _sinusoid_np(length: int, dim: int):
+    inv = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    ang = np.arange(length, dtype=np.float64)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1).astype(np.float32)
+
+
+def sinusoid_positions(length: int, dim: int):
+    """ScaledSinuEmbedding table (T, dim); caller multiplies the learned scale."""
+    return jnp.asarray(_sinusoid_np(length, dim))
+
+
+def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: float = 1e-5):
+    """One FLASH_ShareA_FFConvM layer. x: (B, T, D) → (B, T, D)."""
+    b, t, d = x.shape
+    residual = x
+
+    # token shift: first half of channels delayed by one frame
+    half = d // 2
+    x_shift = jnp.pad(x[..., :half], [(0, 0), (1, 0), (0, 0)])[:, :t]
+    h = jnp.concatenate([x_shift, x[..., half:]], axis=-1)
+
+    h = scale_norm(p["in_norm"], h, eps=eps)
+    proj = jax.nn.silu(core.dense(p["in_lin"], h))
+    k = p["in_conv"]["w"].shape[0]
+    proj = _depthwise_res(p["in_conv"], proj, (k - 1) // 2)
+
+    vu2 = proj.shape[-1] - qk_dim
+    vu = vu2 // 2
+    v, u = proj[..., :vu], proj[..., vu:vu2]
+    qk = proj[..., vu2:]
+
+    # OffsetScale → 4 heads (quad_q, lin_q, quad_k, lin_k)
+    scaled = qk[..., None, :] * p["os_gamma"] + p["os_beta"]  # (B, T, 4, qk)
+    cos, sin = rotary_tables(t, rot_dim)
+    scaled = apply_rotary(scaled, cos[:, None, :], sin[:, None, :], rot_dim)
+
+    pad = (-t) % group_size
+    if pad:
+        scaled = jnp.pad(scaled, [(0, 0), (0, pad), (0, 0), (0, 0)])
+    g = (t + pad) // group_size
+    scaled = scaled.reshape(b, g, group_size, 4, qk_dim)
+    quad_q, lin_q, quad_k, lin_k = [scaled[..., i, :] for i in range(4)]
+
+    vug = proj[..., :vu2]
+    if pad:
+        vug = jnp.pad(vug, [(0, 0), (0, pad), (0, 0)])
+    vug = vug.reshape(b, g, group_size, vu2)
+
+    # quadratic (per-group) attention; zero-padded keys need no mask
+    attn = jax.nn.relu(
+        jnp.einsum("bgik,bgjk->bgij", quad_q, quad_k, preferred_element_type=jnp.float32)
+        / group_size
+    )
+    quad_out = jnp.einsum("bgij,bgjv->bgiv", attn * attn, vug, preferred_element_type=jnp.float32)
+
+    # global linear attention
+    lin_kv = jnp.einsum("bgjk,bgjv->bkv", lin_k, vug, preferred_element_type=jnp.float32) / t
+    lin_out = jnp.einsum("bgik,bkv->bgiv", lin_q, lin_kv, preferred_element_type=jnp.float32)
+
+    att = (quad_out + lin_out).reshape(b, g * group_size, vu2)[:, :t]
+    att_v, att_u = att[..., :vu], att[..., vu:]
+    out = (att_u * v) * jax.nn.sigmoid(att_v * u)
+
+    out = scale_norm(p["out_norm"], out, eps=eps)
+    out = jax.nn.silu(core.dense(p["out_lin"], out))
+    k2 = p["out_conv"]["w"].shape[0]
+    out = _depthwise_res(p["out_conv"], out, (k2 - 1) // 2)
+    return residual + out
+
+
+def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8):
+    """Gated_FSMN_Block (Export_MossFormer_SE.py:444-472). x: (B, T, D)."""
+    blk_in = x
+    h = core.prelu(p["conv1_act"], core.dense(p["conv1"], x))
+    gf_in = core.layer_norm(p["norm1"], h, eps=eps)
+
+    # gated FSMN: fused to_u ‖ to_v FFConvM over a shared affine-free LN
+    xn = core.layer_norm(None, gf_in, eps=eps)
+    proj = jax.nn.silu(core.dense(p["uv_lin"], xn))
+    k = p["uv_conv"]["w"].shape[0]
+    proj = _depthwise_res(p["uv_conv"], proj, (k - 1) // 2)
+    inner = proj.shape[-1] // 2
+    xu, xv = proj[..., :inner], proj[..., inner:]
+
+    # UniDeepFsmn memory on xu: relu-linear → project → symmetric depthwise
+    # memory conv (kernel 2*lorder-1, pad lorder-1 both sides) + inner residual
+    f1 = jax.nn.relu(core.dense(p["mem_lin"], xu))
+    xp = core.dense(p["mem_proj"], f1)
+    mem = core.conv1d(p["mem_conv"], xp, padding=lorder - 1, groups=inner)
+    xu = xu + xp + mem
+
+    y = xv * xu + gf_in
+    y = core.layer_norm(p["norm2"], y, eps=eps)
+    return core.dense(p["conv2"], y) + blk_in
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Init
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def init_ff_convm(key, din, dout, dw_kernel=17, norm="scale"):
+    k1, k2 = jax.random.split(key)
+    p = {
+        "lin": core.init_dense(k1, din, dout),
+        "conv": core.init_conv1d(k2, dw_kernel, dout, dout, groups=dout, bias=False),
+    }
+    if norm == "scale":
+        p["norm"] = {"g": jnp.ones(())}
+    elif norm == "layer":
+        p["norm"] = {"g": jnp.ones((din,)), "b": jnp.zeros((din,))}
+    return p
+
+
+def init_flash_layer(key, dim, *, vu_dim, qk_dim, dw_kernel=17):
+    ks = jax.random.split(key, 6)
+    return {
+        "in_norm": {"g": jnp.ones(())},
+        "in_lin": core.init_dense(ks[0], dim, 2 * vu_dim + qk_dim),
+        "in_conv": core.init_conv1d(ks[1], dw_kernel, 2 * vu_dim + qk_dim, 2 * vu_dim + qk_dim,
+                                    groups=2 * vu_dim + qk_dim, bias=False),
+        "os_gamma": jnp.ones((4, qk_dim)) * 0.1,
+        "os_beta": jnp.zeros((4, qk_dim)),
+        "out_norm": {"g": jnp.ones(())},
+        "out_lin": core.init_dense(ks[2], vu_dim, dim),
+        "out_conv": core.init_conv1d(ks[3], dw_kernel, dim, dim, groups=dim, bias=False),
+    }
+
+
+def init_gated_fsmn_block(key, dim, inner, *, lorder=20, dw_kernel=17):
+    ks = jax.random.split(key, 7)
+    return {
+        "conv1": core.init_dense(ks[0], dim, inner),
+        "conv1_act": {"alpha": jnp.full((inner,), 0.25)},
+        "norm1": {"g": jnp.ones((inner,)), "b": jnp.zeros((inner,))},
+        "uv_lin": core.init_dense(ks[1], inner, 2 * inner),
+        "uv_conv": core.init_conv1d(ks[2], dw_kernel, 2 * inner, 2 * inner, groups=2 * inner, bias=False),
+        "mem_lin": core.init_dense(ks[3], inner, inner),
+        "mem_proj": core.init_dense(ks[4], inner, inner, bias=False),
+        "mem_conv": core.init_conv1d(ks[5], 2 * lorder - 1, inner, inner, groups=inner, bias=False),
+        "norm2": {"g": jnp.ones((inner,)), "b": jnp.zeros((inner,))},
+        "conv2": core.init_dense(ks[6], inner, dim),
+    }

@@ -211,9 +211,48 @@ def _register_deep_echo():
     )
 
 
+def _mossformer2_se_manifest(cfg):
+    return Manifest(
+        model_name="mossformer2_se",
+        task="denoise",
+        model_family="mossformer2_se",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=96000 * cfg.in_sample_rate // 48000,
+        window_type="hamming_symmetric",
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode="constant",
+        center_pad=False,
+        max_dynamic_audio_seconds=6,
+        feature_kind="kaldi_fbank_stft",
+        fold_window_length=cfg.fold_window,
+        batch_fold_inference_default=bool(cfg.fold_window),
+        extra={"n_mels": cfg.n_mels, "depth": cfg.depth},
+    )
+
+
+def _register_mossformer2_se():
+    from ..models.mossformer2_se import MossFormer2SeConfig, init_mossformer2_se, make_mossformer2_se
+
+    register(
+        ModelSpec(
+            name="mossformer2_se",
+            task="denoise",
+            make_config=MossFormer2SeConfig,
+            init_params=init_mossformer2_se,
+            make_forward=make_mossformer2_se,
+            make_manifest=_mossformer2_se_manifest,
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
 _register_nkf()
 _register_ul_unas()
 _register_sdaec()
 _register_deep_echo()
+_register_mossformer2_se()
