@@ -189,6 +189,79 @@ def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8):
     return core.dense(p["conv2"], y) + blk_in
 
 
+def instance_norm_t(p, x, eps: float = 1e-5):
+    """InstanceNorm1d: normalise each channel over time. x: (B, T, C)."""
+    mu = jnp.mean(x, axis=-2, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-2, keepdims=True)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["g"] + p["b"]
+    return y
+
+
+def gated_fsmn_block_dilated(p, x, *, lorder: int, eps: float = 1e-8):
+    """Gated_FSMN_Block_Dilated (MossFormer2-SS variant,
+    /root/reference/MossFormer2_SS_16K/Export_MossFormer2_SS_16K.py:516-559):
+    the memory is a dilated DenseNet stack — conv_j sees the concat of all
+    previous outputs, with InstanceNorm + PReLU after each conv."""
+    blk_in = x
+    h = core.dense(p["front"], x)
+    h = jnp.where(h >= 0, h, p["front_alpha"] * h)  # scalar PReLU as leaky
+    gf_in = core.layer_norm(p["norm1"], h, eps=eps)
+
+    xn = core.layer_norm(None, gf_in, eps=eps)
+    proj = jax.nn.silu(core.dense(p["uv_lin"], xn))
+    k = p["uv_conv"]["w"].shape[0]
+    proj = _depthwise_res(p["uv_conv"], proj, (k - 1) // 2)
+    inner = proj.shape[-1] // 2
+    xu, xv = proj[..., :inner], proj[..., inner:]
+
+    f1 = jax.nn.relu(core.dense(p["mem_lin"], xu))
+    dense_feat = core.dense(p["mem_proj"], f1)
+    mem_out = dense_feat
+    for j, mp in enumerate(p["mem_stack"]):
+        dilation = 2**j  # dense dilated stack: dilation doubles per level
+        pad = dilation * (lorder - 1)
+        mem_out = core.conv1d(mp["conv"], dense_feat, padding=pad, dilation=dilation,
+                              groups=inner)
+        mem_out = instance_norm_t(mp["norm"], mem_out)
+        mem_out = core.prelu(mp["act"], mem_out)
+        if j + 1 < len(p["mem_stack"]):
+            dense_feat = jnp.concatenate([mem_out, dense_feat], axis=-1)
+    xu = xu + mem_out
+
+    y = xv * xu + gf_in
+    y = core.layer_norm(p["norm2"], y, eps=eps)
+    return core.dense(p["back"], y) + blk_in
+
+
+def init_gated_fsmn_block_dilated(key, dim, inner, *, lorder=20, dw_kernel=17, depth=2):
+    ks = jax.random.split(key, 7 + depth)
+    mem_stack = []
+    for j in range(depth):
+        kj = jax.random.split(ks[6 + j], 2)
+        cin = inner * (j + 1)
+        mem_stack.append(
+            {
+                "conv": core.init_conv1d(kj[0], 2 * lorder - 1, cin, inner, groups=inner, bias=False),
+                "norm": {"g": jnp.ones((inner,)), "b": jnp.zeros((inner,))},
+                "act": {"alpha": jnp.full((inner,), 0.25)},
+            }
+        )
+    return {
+        "front": core.init_dense(ks[0], dim, inner),
+        "front_alpha": jnp.asarray(0.25, jnp.float32),
+        "norm1": {"g": jnp.ones((inner,)), "b": jnp.zeros((inner,))},
+        "uv_lin": core.init_dense(ks[1], inner, 2 * inner),
+        "uv_conv": core.init_conv1d(ks[2], dw_kernel, 2 * inner, 2 * inner, groups=2 * inner, bias=False),
+        "mem_lin": core.init_dense(ks[3], inner, inner),
+        "mem_proj": core.init_dense(ks[4], inner, inner, bias=False),
+        "mem_stack": mem_stack,
+        "norm2": {"g": jnp.ones((inner,)), "b": jnp.zeros((inner,))},
+        "back": core.init_dense(ks[5], inner, dim),
+    }
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Init
 # ─────────────────────────────────────────────────────────────────────────────

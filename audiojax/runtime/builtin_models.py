@@ -249,6 +249,38 @@ def _register_mossformer2_se():
     )
 
 
+def _mossformer2_ss_manifest(cfg):
+    return Manifest(
+        model_name="mossformer2_ss",
+        task="separation",
+        model_family="mossformer2_ss",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=32000 * cfg.in_sample_rate // 16000,
+        max_dynamic_audio_seconds=6,
+        output_sources=cfg.num_spks,
+        pad_head=8000,
+        enc_stride=cfg.enc_stride,
+        extra={"num_spks": cfg.num_spks, "depth": cfg.depth},
+    )
+
+
+def _register_mossformer2_ss():
+    from ..models.mossformer2_ss import MossFormer2SsConfig, init_mossformer2_ss, make_mossformer2_ss
+
+    register(
+        ModelSpec(
+            name="mossformer2_ss",
+            task="separation",
+            make_config=MossFormer2SsConfig,
+            init_params=init_mossformer2_ss,
+            make_forward=make_mossformer2_ss,
+            make_manifest=_mossformer2_ss_manifest,
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
 _register_nkf()
@@ -256,3 +288,4 @@ _register_ul_unas()
 _register_sdaec()
 _register_deep_echo()
 _register_mossformer2_se()
+_register_mossformer2_ss()
