@@ -91,7 +91,8 @@ def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int 
     return y
 
 
-def conv1d_transpose(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
+def conv1d_transpose(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1,
+                     output_padding: int = 0):
     """Channel-last transposed 1-D conv with torch ConvTranspose1d geometry.
 
     ``w`` is stored as the *equivalent forward kernel* in WIO layout
@@ -107,7 +108,7 @@ def conv1d_transpose(p, x, *, stride: int = 1, padding=0, dilation: int = 1, gro
         x,
         p["w"],
         window_strides=(1,),
-        padding=[(eff - pad, eff - pad)],
+        padding=[(eff - pad, eff - pad + output_padding)],
         lhs_dilation=(stride,),
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),

@@ -163,8 +163,14 @@ def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: f
     return residual + out
 
 
-def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8):
-    """Gated_FSMN_Block (Export_MossFormer_SE.py:444-472). x: (B, T, D)."""
+def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8,
+                     conv_residual: bool = True, inner_residual: bool = True):
+    """Gated_FSMN_Block (Export_MossFormer_SE.py:444-472). x: (B, T, D).
+
+    Variant flags: the SR mask net's FFConvM ConvModule has NO residual add and
+    its memory drops the inner xp residual
+    (/root/reference/MossFormer2_Super_Resolution/Export_MossFormer_SR.py:520-528).
+    """
     blk_in = x
     h = core.prelu(p["conv1_act"], core.dense(p["conv1"], x))
     gf_in = core.layer_norm(p["norm1"], h, eps=eps)
@@ -173,7 +179,10 @@ def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8):
     xn = core.layer_norm(None, gf_in, eps=eps)
     proj = jax.nn.silu(core.dense(p["uv_lin"], xn))
     k = p["uv_conv"]["w"].shape[0]
-    proj = _depthwise_res(p["uv_conv"], proj, (k - 1) // 2)
+    if conv_residual:
+        proj = _depthwise_res(p["uv_conv"], proj, (k - 1) // 2)
+    else:
+        proj = core.conv1d(p["uv_conv"], proj, padding=(k - 1) // 2, groups=proj.shape[-1])
     inner = proj.shape[-1] // 2
     xu, xv = proj[..., :inner], proj[..., inner:]
 
@@ -182,7 +191,7 @@ def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8):
     f1 = jax.nn.relu(core.dense(p["mem_lin"], xu))
     xp = core.dense(p["mem_proj"], f1)
     mem = core.conv1d(p["mem_conv"], xp, padding=lorder - 1, groups=inner)
-    xu = xu + xp + mem
+    xu = xu + xp + mem if inner_residual else xu + mem
 
     y = xv * xu + gf_in
     y = core.layer_norm(p["norm2"], y, eps=eps)

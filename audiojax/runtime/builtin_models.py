@@ -281,6 +281,42 @@ def _register_mossformer2_ss():
     )
 
 
+def _mossformer_sr_manifest(cfg):
+    return Manifest(
+        model_name="mossformer2_sr",
+        task="super_resolution",
+        model_family="mossformer2_sr",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.out_sample_rate,
+        input_audio_length=32000,
+        input_to_output_scale=float(cfg.upsample_ratio),
+        window_type="hann",
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        center_pad=False,
+        max_dynamic_audio_seconds=30,
+        overlap_length=12000,  # host Hann-taper OLA overlap (input samples)
+        extra={"n_mels": cfg.n_mels, "crossover_hz": cfg.crossover_hz},
+    )
+
+
+def _register_mossformer_sr():
+    from ..models.mossformer_sr import MossFormerSrConfig, init_mossformer_sr, make_mossformer_sr
+
+    register(
+        ModelSpec(
+            name="mossformer2_sr",
+            task="super_resolution",
+            make_config=MossFormerSrConfig,
+            init_params=init_mossformer_sr,
+            make_forward=make_mossformer_sr,
+            make_manifest=_mossformer_sr_manifest,
+        )
+    )
+
+
 _register_gtcrn()
 _register_dfsmn()
 _register_nkf()
@@ -289,3 +325,4 @@ _register_sdaec()
 _register_deep_echo()
 _register_mossformer2_se()
 _register_mossformer2_ss()
+_register_mossformer_sr()

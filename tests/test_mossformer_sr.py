@@ -1,0 +1,64 @@
+"""MossFormer2-SR: sinc upsampler, snake, crossover, e2e 16k->48k contract."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiojax.frontend.mel import slaney_mel_fbanks
+from audiojax.models.mossformer_sr import (
+    MossFormerSrConfig,
+    _crossover_kernel_np,
+    init_mossformer_sr,
+    mossformer_sr_forward,
+    snake,
+    upsample_sinc,
+)
+
+
+def test_upsampler_length_and_passthrough():
+    cfg = MossFormerSrConfig()
+    x = jnp.asarray((np.sin(2 * np.pi * 200 * np.arange(2560) / 16000) * 16000).astype(np.int16)[None])
+    y = np.asarray(upsample_sinc(x, cfg))
+    assert y.shape == (1, 3 * 2560)
+    # a sinc interpolator preserves the original samples at stride positions
+    orig = np.asarray(x)[0].astype(np.float64) / 32768.0
+    interior = slice(200, -200)
+    np.testing.assert_allclose(y[0, ::3][interior], orig[interior], atol=1e-4)
+
+
+def test_crossover_kernel_is_unit_dc_lowpass():
+    h = _crossover_kernel_np(511, 5500.0, 48000.0, 8.0)
+    assert abs(h.sum() - 1.0) < 1e-6
+    # frequency response: passband ~1 at DC, stopband ~0 at 10 kHz
+    w = np.fft.rfft(h, 8192)
+    freqs = np.fft.rfftfreq(8192, 1 / 48000)
+    assert abs(np.abs(w[0]) - 1.0) < 1e-6
+    assert np.abs(w[np.searchsorted(freqs, 10000)]) < 1e-3
+
+
+def test_slaney_fbanks_shape_and_coverage():
+    fb = slaney_mel_fbanks(513, 0.0, 8000.0, 80, 48000.0)
+    assert fb.shape == (513, 80)
+    active = fb.sum(axis=1)
+    freqs = np.linspace(0, 24000, 513)
+    assert np.all(active[(freqs > 100) & (freqs < 7900)] > 0)
+    assert np.all(active[freqs > 8100] == 0)
+
+
+def test_snake():
+    x = jnp.asarray(np.linspace(-3, 3, 32, dtype=np.float32)[None, :, None].repeat(4, -1))
+    y = snake({"alpha": jnp.ones((4,))}, x)
+    ref = np.asarray(x) + np.sin(np.asarray(x)) ** 2 / (1 + 1e-9)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_forward_contract_3x():
+    cfg = MossFormerSrConfig(dim=64, depth=1, group_size=16, qk_dim=32, vu_dim=96,
+                             fsmn_inner=32, dw_kernel=5, rot_dim=8, lorder=5,
+                             gen_channels=32, gen_res_kernels=(3,), gen_res_dilations=(1, 3))
+    params = init_mossformer_sr(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal(4096) * 8000).astype(np.int16)[None])
+    out = mossformer_sr_forward(params, audio, cfg)
+    assert out.shape == (1, 3 * 4096)
+    assert out.dtype == jnp.int16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
