@@ -1,11 +1,15 @@
 """RTF benchmark on the real TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Primary metric this round: GTCRN real-time factor (processing time ÷ audio
-duration) on a 60 s clip batch-folded into 1.5 s windows — the same fold
-policy the reference uses for long audio (SURVEY.md §2.0.1).  Baseline:
-GTCRN RTF 0.0036 on the reference's i3-12300 ORT-CPU row (BASELINE.md);
-vs_baseline is the speedup factor baseline/ours (>1 = faster).
+Primary metric: ZipEnhancer (the flagship) real-time factor on a 60 s clip
+batch-folded into 1.5 s windows — the reference's fold policy for long audio
+(SURVEY.md §2.0.1).  GTCRN RTF rides along as an extra field.  Baselines are
+the reference's i3-12300 ORT-CPU rows (BASELINE.md): ZipEnhancer 0.32,
+GTCRN 0.0036.  vs_baseline = baseline/ours (>1 ⇒ faster).
+
+Timing note: under the axon tunnel ``block_until_ready`` is async; a host
+transfer is the only true sync, so executions are chained (output feeds
+input) and synced once.
 """
 from __future__ import annotations
 
@@ -14,7 +18,17 @@ import time
 
 import numpy as np
 
-GTCRN_BASELINE_RTF = 0.0036
+BASELINES = {"zipenhancer": 0.32, "gtcrn": 0.0036}
+
+
+def _bench_model(fn, params, audio, iters: int) -> float:
+    np.asarray(fn(params, audio))  # compile + warm
+    x = audio
+    start = time.perf_counter()
+    for _ in range(iters):
+        x = fn(params, x)
+    np.asarray(x[0, :8])
+    return (time.perf_counter() - start) / iters
 
 
 def main():
@@ -22,45 +36,42 @@ def main():
     import jax.numpy as jnp
 
     from audiojax.models.gtcrn import GtcrnConfig, init_gtcrn, make_gtcrn
+    from audiojax.models.zipenhancer import ZipEnhancerConfig, init_zipenhancer, make_zipenhancer
 
-    fold = 24064  # 1.5 s fold windows rounded up to a hop multiple
     seconds = 60
-    n_windows = seconds * 16000 // fold + 1
-    total = n_windows * fold
-
-    cfg = GtcrnConfig(fold_window=fold)
-    params = init_gtcrn(jax.random.PRNGKey(0), cfg)
-    fn = jax.jit(make_gtcrn(cfg))
-
     rng = np.random.default_rng(0)
-    t = np.arange(total) / 16000
-    clip = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(total)
-    audio = jnp.asarray((clip * 20000).astype(np.int16)[None])
 
-    # compile + warmup. NOTE: under the axon tunnel block_until_ready() is a
-    # no-op (fully async dispatch); a host transfer is the only real sync, so
-    # we chain executions (output feeds input — same int16 shape) and sync
-    # once at the end. This measures steady-state serving throughput.
-    np.asarray(fn(params, audio))
-    iters = 50
-    x = audio
-    start = time.perf_counter()
-    for _ in range(iters):
-        x = fn(params, x)
-    np.asarray(x[0, :8])
-    elapsed = (time.perf_counter() - start) / iters
+    def clip(total):
+        t = np.arange(total) / 16000
+        wave = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(total)
+        return jnp.asarray((wave * 20000).astype(np.int16)[None])
 
-    duration = total / 16000.0
-    rtf = elapsed / duration
+    results = {}
+
+    zcfg = ZipEnhancerConfig(fold_window=24000)
+    total = (seconds * 16000 // zcfg.fold_window) * zcfg.fold_window
+    zfn = jax.jit(make_zipenhancer(zcfg))
+    zparams = init_zipenhancer(jax.random.PRNGKey(0), zcfg)
+    elapsed = _bench_model(zfn, zparams, clip(total), iters=20)
+    results["zipenhancer"] = elapsed / (total / 16000.0)
+
+    gcfg = GtcrnConfig(fold_window=24064)
+    total_g = (seconds * 16000 // gcfg.fold_window) * gcfg.fold_window
+    gfn = jax.jit(make_gtcrn(gcfg))
+    gparams = init_gtcrn(jax.random.PRNGKey(0), gcfg)
+    elapsed_g = _bench_model(gfn, gparams, clip(total_g), iters=30)
+    results["gtcrn"] = elapsed_g / (total_g / 16000.0)
+
     print(
         json.dumps(
             {
-                "metric": "GTCRN RTF (60s clip, 1.5s fold windows, f32)",
-                "value": round(rtf, 6),
+                "metric": "ZipEnhancer RTF (60s clip, 1.5s fold windows, f32)",
+                "value": round(results["zipenhancer"], 6),
                 "unit": "RTF",
-                "vs_baseline": round(GTCRN_BASELINE_RTF / rtf, 2),
+                "vs_baseline": round(BASELINES["zipenhancer"] / results["zipenhancer"], 2),
+                "gtcrn_rtf": round(results["gtcrn"], 6),
+                "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
                 "chip": str(jax.devices()[0]),
-                "latency_ms": round(elapsed * 1e3, 3),
             }
         )
     )
