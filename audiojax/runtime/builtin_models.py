@@ -26,7 +26,7 @@ def _gtcrn_manifest(cfg):
     )
 
 
-def def _mossformergan_manifest(cfg):
+def _mossformergan_manifest(cfg):
     return Manifest(
         model_name="mossformergan_se",
         task="denoise",
@@ -63,7 +63,7 @@ def _register_mossformergan():
     )
 
 
-_register_gtcrn():
+def _register_gtcrn():
     from ..models.gtcrn import GtcrnConfig, init_gtcrn, make_gtcrn
 
     register(
@@ -377,8 +377,7 @@ def _zipenhancer_manifest(cfg):
     )
 
 
-def _register_zipenhancer()
-_register_mossformergan():
+def _register_zipenhancer():
     from ..models.zipenhancer import ZipEnhancerConfig, init_zipenhancer, make_zipenhancer
 
     register(
