@@ -1,0 +1,232 @@
+"""Mel-Band Roformer — vocal separation at 44.1 kHz (mono and stereo).
+
+Parity target: /root/reference/Mel_Band_Roformer/{Mono,Stereo}/Export_MelBandRoformer.py —
+STFT 2048/441 (hann, reflect) → slaney mel filterbank split into 60
+OVERLAPPING bands (bin membership = fb > 0, with the DC and Nyquist corners
+forced in; stereo interleaves channels into the bin axis) → per-band
+RMSNorm+Linear embedding to dim → depth × axial transformers (time attention
+then band attention, RoPE over the full head dim, per-head sigmoid gates,
+RMSNorm'd attention/FF with a final per-transformer RMSNorm) → per-band
+MLP+GLU mask estimator → overlap-averaged complex mask (scatter-add ÷ counts;
+the reference folds the denominator into the GLU value branch) → complex
+multiply → ISTFT.
+
+The mono variant's stereo→mono checkpoint folding (L/R averaging,
+Mono/Export_MelBandRoformer.py:270-344) is an importer transform.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp import StftConfig, istft, stft
+from ..dsp.pcm import pcm_in, pcm_out
+from ..frontend.mel import slaney_mel_fbanks
+from ..nn import core
+from ..nn.core import rms_norm
+from ..nn.mossformer import apply_rotary, rotary_tables
+
+
+@dataclasses.dataclass(frozen=True)
+class MelBandConfig:
+    n_fft: int = 2048
+    hop: int = 441
+    window: str = "hann"
+    pad_mode: str = "reflect"
+    num_bands: int = 60
+    dim: int = 384
+    depth: int = 6
+    heads: int = 8
+    dim_head: int = 64
+    mlp_expansion: int = 4
+    channels: int = 1  # 1 = mono, 2 = stereo
+    sample_rate: int = 44100
+    in_sample_rate: int = 44100
+    out_sample_rate: int = 44100
+    fold_window: int = 0
+
+    @property
+    def stft(self) -> StftConfig:
+        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode=self.pad_mode)
+
+    @property
+    def f_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@lru_cache(maxsize=None)
+def band_layout(cfg: MelBandConfig):
+    """(freq_indices, band_widths, counts): the overlapping mel band selection
+    (Mono/Export_MelBandRoformer.py:418-434). Indices are into the
+    channel-interleaved bin axis of length f_bins*channels."""
+    fb = slaney_mel_fbanks(cfg.f_bins, 0.0, cfg.sample_rate / 2.0, cfg.num_bands,
+                           float(cfg.sample_rate)).T.copy()  # (bands, bins)
+    fb[0, 0] = 1.0
+    fb[-1, -1] = 1.0
+    member = fb > 0
+    indices = []
+    widths = []
+    for b in range(cfg.num_bands):
+        bins = np.nonzero(member[b])[0]
+        if cfg.channels == 1:
+            sel = bins
+        else:  # stereo: channel-interleaved bin axis (bin*ch + c)
+            sel = np.stack([bins * cfg.channels + c for c in range(cfg.channels)], axis=1).reshape(-1)
+        indices.append(sel)
+        widths.append(2 * len(bins) * cfg.channels)
+    freq_indices = np.concatenate(indices).astype(np.int32)
+    counts = np.zeros((cfg.f_bins * cfg.channels,), np.float32)
+    np.add.at(counts, freq_indices, 1.0)
+    return freq_indices, tuple(widths), np.maximum(counts, 1.0)
+
+
+def _attention(p, x, cos, sin, cfg: MelBandConfig):
+    n, s, _ = x.shape
+    h, dh = cfg.heads, cfg.dim_head
+    normed = rms_norm(p["norm"], x, eps=0.0)
+    qkv = core.dense(p["to_qkv"], normed).reshape(n, s, 3, h, dh)
+    gates = jax.nn.sigmoid(core.dense(p["to_gates"], normed))  # (n, s, heads)
+    q, k, v = [jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3)]  # (n, h, s, dh)
+    q = apply_rotary(q, cos, sin, dh)
+    k = apply_rotary(k, cos, sin, dh)
+    attn = jax.nn.softmax(
+        jnp.einsum("nhik,nhjk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
+        axis=-1,
+    )
+    out = jnp.einsum("nhij,nhjv->nhiv", attn, v, preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(out, 1, 2) * gates[..., None]  # (n, s, h, dh)
+    return core.dense(p["to_out"], out.reshape(n, s, h * dh))
+
+
+def _transformer(p, x, cos, sin, cfg: MelBandConfig):
+    x = x + _attention(p["attn"], x, cos, sin, cfg)
+    h = jax.nn.gelu(core.dense(p["ff1"], rms_norm(p["ff_norm"], x, eps=0.0)), approximate=False)
+    x = x + core.dense(p["ff2"], h)
+    return rms_norm(p["out_norm"], x, eps=0.0)
+
+
+def melband_net(p, spec, cfg: MelBandConfig):
+    """spec (B, T, F·ch, 2) complex-last interleaved → masked spec same shape."""
+    freq_idx, widths, counts = band_layout(cfg)
+    b, t, fc, _ = spec.shape
+    sel = spec[:, :, jnp.asarray(freq_idx), :]  # (B, T, S, 2)
+    flat = sel.reshape(b, t, -1)  # (B, T, 2S) band-major [re, im] pairs per bin
+
+    # band split: per-band RMSNorm + Linear → (bands, B, T, dim)
+    feats = []
+    off = 0
+    for i, w in enumerate(widths):
+        part = flat[..., off : off + w]
+        off += w
+        feats.append(core.dense(p["band_split"][i]["lin"],
+                                rms_norm(p["band_split"][i]["norm"], part, eps=0.0)))
+    x = jnp.stack(feats, axis=0)  # (nb, B, T, dim)
+    nb = cfg.num_bands
+
+    tcos, tsin = rotary_tables(t, cfg.dim_head)
+    fcos, fsin = rotary_tables(nb, cfg.dim_head)
+    for i in range(cfg.depth):
+        seq = x.reshape(nb * b, t, cfg.dim)
+        seq = _transformer(p[f"time{i}"], seq, tcos, tsin, cfg)
+        x = seq.reshape(nb, b, t, cfg.dim)
+        seq = jnp.transpose(x, (2, 1, 0, 3)).reshape(t * b, nb, cfg.dim)
+        seq = _transformer(p[f"freq{i}"], seq, fcos, fsin, cfg)
+        x = jnp.transpose(seq.reshape(t, b, nb, cfg.dim), (2, 1, 0, 3))
+
+    # mask estimator: shared-width MLP batched over bands, per-band GLU head
+    h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", x, p["me_w1"],
+                            preferred_element_type=jnp.float32) + p["me_b1"][:, None, None])
+    h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, p["me_w2"],
+                            preferred_element_type=jnp.float32) + p["me_b2"][:, None, None])
+    masks = []
+    for i, w in enumerate(widths):
+        g = core.dense(p["me_out"][i], h[i])  # (B, T, 2w)
+        masks.append(g[..., :w] * jax.nn.sigmoid(g[..., w:]))  # GLU
+    mask_flat = jnp.concatenate(masks, axis=-1)  # (B, T, 2S)
+    mask = mask_flat.reshape(b, t, -1, 2)  # (B, T, S, 2)
+
+    # overlap-average scatter: sum contributions per bin / membership count
+    acc = jnp.zeros((b, t, fc, 2), mask.dtype)
+    acc = acc.at[:, :, jnp.asarray(freq_idx), :].add(mask)
+    mask_avg = acc / jnp.asarray(counts)[None, None, :, None]
+
+    mr, mi = mask_avg[..., 0], mask_avg[..., 1]
+    sr, si = spec[..., 0], spec[..., 1]
+    return jnp.stack([sr * mr - si * mi, sr * mi + si * mr], axis=-1)
+
+
+def melband_forward(params, audio, cfg: MelBandConfig = MelBandConfig()):
+    """int16 (B, ch, L) (or (B, L) mono) → separated vocals, same shape."""
+    squeeze = audio.ndim == 2
+    if squeeze:
+        audio = audio[:, None, :]
+    b, ch, length = audio.shape
+    assert ch == cfg.channels, f"model expects {cfg.channels} channel(s), got {ch}"
+
+    x = pcm_in(audio.reshape(b * ch, length))
+    model_len = x.shape[-1]
+    padded = -(-model_len // cfg.hop) * cfg.hop
+    if padded != model_len:
+        x = jnp.pad(x, [(0, 0), (0, padded - model_len)])
+
+    re, im = stft(x, cfg.stft)  # (B*ch, T, F)
+    t = re.shape[1]
+    spec = jnp.stack([re, im], axis=-1).reshape(b, ch, t, cfg.f_bins, 2)
+    # channel-interleaved bin axis (bin*ch + c)
+    spec = jnp.moveaxis(spec, 1, 3).reshape(b, t, cfg.f_bins * ch, 2)
+
+    out = melband_net(params, spec, cfg)
+
+    out = out.reshape(b, t, cfg.f_bins, ch, 2)
+    out = jnp.moveaxis(out, 3, 1).reshape(b * ch, t, cfg.f_bins, 2)
+    y = istft(out[..., 0], out[..., 1], cfg.stft)
+    y = y[..., :model_len].reshape(b, ch, model_len)
+    y = pcm_out(y)
+    return y[:, 0] if squeeze else y
+
+
+def init_melband(key, cfg: MelBandConfig = MelBandConfig()):
+    _, widths, _ = band_layout(cfg)
+    ks = jax.random.split(key, 2 * cfg.depth + 4)
+    inner = cfg.mlp_expansion * cfg.dim
+
+    def tf(k):
+        k1, k2, k3, k4, k5, k6 = jax.random.split(k, 6)
+        return {
+            "attn": {
+                "norm": {"g": jnp.ones((cfg.dim,))},
+                "to_qkv": core.init_dense(k2, cfg.dim, 3 * cfg.heads * cfg.dim_head, bias=False),
+                "to_gates": core.init_dense(k3, cfg.dim, cfg.heads),
+                "to_out": core.init_dense(k4, cfg.heads * cfg.dim_head, cfg.dim, bias=False),
+            },
+            "ff_norm": {"g": jnp.ones((cfg.dim,))},
+            "ff1": core.init_dense(k5, cfg.dim, inner),
+            "ff2": core.init_dense(k6, inner, cfg.dim),
+            "out_norm": {"g": jnp.ones((cfg.dim,))},
+        }
+
+    p = {}
+    for i in range(cfg.depth):
+        p[f"time{i}"] = tf(ks[2 * i])
+        p[f"freq{i}"] = tf(ks[2 * i + 1])
+
+    bs_keys = jax.random.split(ks[-4], len(widths))
+    p["band_split"] = [
+        {"norm": {"g": jnp.ones((w,))}, "lin": core.init_dense(bs_keys[i], w, cfg.dim)}
+        for i, w in enumerate(widths)
+    ]
+    mk = jax.random.split(ks[-3], len(widths) + 2)
+    p["me_w1"] = jax.vmap(lambda k: core.glorot(k, (cfg.dim, inner)))(jax.random.split(mk[-2], len(widths)))
+    p["me_b1"] = jnp.zeros((len(widths), inner))
+    p["me_w2"] = jax.vmap(lambda k: core.glorot(k, (inner, inner)))(jax.random.split(mk[-1], len(widths)))
+    p["me_b2"] = jnp.zeros((len(widths), inner))
+    p["me_out"] = [core.init_dense(mk[i], inner, 2 * w) for i, w in enumerate(widths)]
+    return p
+
+
+def make_melband(cfg: MelBandConfig = MelBandConfig()):
+    return partial(melband_forward, cfg=cfg)

@@ -440,3 +440,53 @@ _register_mossformer2_ss()
 _register_mossformer_sr()
 _register_zipenhancer()
 _register_mossformergan()
+
+
+def _melband_manifest(cfg):
+    return Manifest(
+        model_name="melband_roformer" if cfg.channels == 1 else "melband_roformer_stereo",
+        task="vocal_separation",
+        model_family="mel_band_roformer",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=88200 * cfg.in_sample_rate // 44100,
+        window_type=cfg.window,
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode=cfg.pad_mode,
+        center_pad=True,
+        input_channels=cfg.channels,
+        output_channels=cfg.channels,
+        max_dynamic_audio_seconds=30,
+        extra={"num_bands": cfg.num_bands, "dim": cfg.dim, "depth": cfg.depth},
+    )
+
+
+def _register_melband():
+    from ..models.melband_roformer import MelBandConfig, init_melband, make_melband
+
+    register(
+        ModelSpec(
+            name="melband_roformer",
+            task="vocal_separation",
+            make_config=MelBandConfig,
+            init_params=init_melband,
+            make_forward=make_melband,
+            make_manifest=_melband_manifest,
+        )
+    )
+    register(
+        ModelSpec(
+            name="melband_roformer_stereo",
+            task="vocal_separation",
+            make_config=lambda: MelBandConfig(channels=2),
+            init_params=init_melband,
+            make_forward=make_melband,
+            make_manifest=_melband_manifest,
+        )
+    )
+
+
+_register_melband()
