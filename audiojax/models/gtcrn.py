@@ -133,19 +133,14 @@ def dpgrnn(p, x, *, width: int, hidden: int):
 _ENC_DIL = (1, 2, 5)
 
 
-def gtcrn_net(p, spec_ri, cfg: GtcrnConfig):
-    """Enhance a packed spectrum: (B, T, 2F) → (B, T, 2F).
+def gtcrn_backbone(p, feat, cfg: GtcrnConfig):
+    """ERB-compressed feature map (B, T, F, C) → complex mask (B, T, F, 2).
 
-    Mirrors GTCRN.forward_packed (/root/reference/GTCRN/Export_GTCRN.py:592-596)
-    in channel-last layout.
+    Shared by GTCRN (3-channel [mag, re, im] features) and H-GTCRN's GTCRN-IVA
+    (6-channel spatial features, /root/reference/H-GTCRN/Export_H_GTCRN.py:1005-1030).
     """
-    fb = cfg.stft.f_bins
-    re, im = spec_ri[..., :fb], spec_ri[..., fb:]
-    mag = jnp.sqrt(re * re + im * im + 1e-12)
-    feat = jnp.stack([mag, re, im], axis=-1)  # (B, T, F, 3)
-
     feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft)
-    feat = sfe(feat)  # (B, T, 129, 9)
+    feat = sfe(feat)  # (B, T, 129, 3C)
 
     e = conv_block(p["enc0"], feat, stride=(1, 2), padding=(0, 2))
     skips = [e]
@@ -163,7 +158,20 @@ def gtcrn_net(p, spec_ri, cfg: GtcrnConfig):
     e = conv_block(p["dec1"], e + skips[1], stride=(1, 2), padding=(0, 2), groups=2, deconv=True)
     m = conv_block(p["dec0"], e + skips[0], stride=(1, 2), padding=(0, 2), deconv=True, last=True)
 
-    m = erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft)  # (B, T, F, 2)
+    return erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft)  # (B, T, F, 2)
+
+
+def gtcrn_net(p, spec_ri, cfg: GtcrnConfig):
+    """Enhance a packed spectrum: (B, T, 2F) → (B, T, 2F).
+
+    Mirrors GTCRN.forward_packed (/root/reference/GTCRN/Export_GTCRN.py:592-596)
+    in channel-last layout.
+    """
+    fb = cfg.stft.f_bins
+    re, im = spec_ri[..., :fb], spec_ri[..., fb:]
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    feat = jnp.stack([mag, re, im], axis=-1)  # (B, T, F, 3)
+    m = gtcrn_backbone(p, feat, cfg)
     m0, m1 = m[..., 0], m[..., 1]
     return jnp.concatenate([re * m0 - im * m1, im * m0 + re * m1], axis=-1)
 

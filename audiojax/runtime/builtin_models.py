@@ -490,3 +490,42 @@ def _register_melband():
 
 
 _register_melband()
+
+
+def _h_gtcrn_manifest(cfg):
+    return Manifest(
+        model_name="h_gtcrn",
+        task="denoise",
+        model_family="h-gtcrn",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=32000 * cfg.in_sample_rate // 16000,
+        window_type=cfg.window,
+        nfft=cfg.n_fft,
+        window_length=cfg.n_fft,
+        hop_length=cfg.hop,
+        pad_mode=cfg.pad_mode,
+        center_pad=True,
+        input_channels=2,
+        max_dynamic_audio_seconds=30,
+        extra={"rt60": cfg.rt60, "wpe_taps": cfg.wpe_taps, "iva_iter": cfg.iva_iter},
+    )
+
+
+def _register_h_gtcrn():
+    from ..models.h_gtcrn import HGtcrnConfig, init_h_gtcrn, make_h_gtcrn
+
+    register(
+        ModelSpec(
+            name="h_gtcrn",
+            task="denoise",
+            make_config=HGtcrnConfig,
+            init_params=init_h_gtcrn,
+            make_forward=make_h_gtcrn,
+            make_manifest=_h_gtcrn_manifest,
+        )
+    )
+
+
+_register_h_gtcrn()
