@@ -62,12 +62,14 @@ class DfsmnConfig:
         return self.n_fft // 2 + 1
 
 
-def dfsmn_mask_net(p, fbank, state=None):
+def dfsmn_mask_net(p, fbank, state=None, *, return_trunk: bool = False):
     """(B, T, n_mels) log-fbank → (B, T, stft_bins) sigmoid mask.
 
     ``state``: optional per-layer causal memories, each (B, lorder-1, hidden).
     Returns (mask, new_state) — passing the returned state into the next call
-    continues the causal memory exactly (streaming).
+    continues the causal memory exactly (streaming).  With ``return_trunk`` the
+    pre-mask FSMN trunk rides along (the DFSMN-AEC VAD head consumes it,
+    /root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1318-1320).
     """
     x = jax.nn.relu(core.dense(p["lin1"], fbank))
     lorder = p["layers"][0]["mem"]["w"].shape[0]
@@ -87,6 +89,8 @@ def dfsmn_mask_net(p, fbank, state=None):
         new_state.append(mem_in[:, -(lorder - 1) :])
         x = x + mem
     mask = jax.nn.sigmoid(core.dense(p["lin2"], x))
+    if return_trunk:
+        return mask, new_state, x
     return mask, new_state
 
 

@@ -529,3 +529,42 @@ def _register_h_gtcrn():
 
 
 _register_h_gtcrn()
+
+
+def _dfsmn_aec_manifest(cfg):
+    return Manifest(
+        model_name="dfsmn_aec",
+        task="aec",
+        model_family="dfsmn_aec",
+        in_sample_rate=cfg.in_sample_rate,
+        out_sample_rate=cfg.out_sample_rate,
+        model_sample_rate=cfg.sample_rate,
+        input_audio_length=32000 * cfg.in_sample_rate // 16000,
+        window_type="hamming_symmetric",
+        nfft=cfg.frame_len,
+        window_length=cfg.frame_len,
+        hop_length=cfg.hop,
+        center_pad=False,
+        num_audio_inputs=2,
+        max_dynamic_audio_seconds=30,
+        feature_kind="kaldi_fbank_stft",
+        extra={"backend": cfg.backend, "n_mels": cfg.n_mels, "output_vad": cfg.output_vad},
+    )
+
+
+def _register_dfsmn_aec():
+    from ..models.dfsmn_aec import DfsmnAecConfig, init_dfsmn_aec, make_dfsmn_aec
+
+    register(
+        ModelSpec(
+            name="dfsmn_aec",
+            task="aec",
+            make_config=DfsmnAecConfig,
+            init_params=init_dfsmn_aec,
+            make_forward=make_dfsmn_aec,
+            make_manifest=_dfsmn_aec_manifest,
+        )
+    )
+
+
+_register_dfsmn_aec()
