@@ -1,0 +1,183 @@
+"""Importer transforms: BN/LN fusion goldens vs torch, GTCRN/DFSMN end-to-end
+imports from synthetic upstream-shaped checkpoints."""
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from audiojax.importers import import_checkpoint
+from audiojax.importers.common import (
+    fold_ln_into_linear,
+    fuse_bn_conv2d,
+    fuse_bn_deconv2d,
+    unwrap_state_dict,
+)
+from audiojax.nn import core
+
+
+def _bn_with_stats(c):
+    bn = nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn.running_mean.uniform_(-0.5, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.uniform_(0.5, 1.5)
+        bn.bias.uniform_(-0.3, 0.3)
+    return bn.eval()
+
+
+def test_fuse_bn_conv2d_matches_torch():
+    torch.manual_seed(0)
+    conv = nn.Conv2d(6, 12, (2, 3), groups=2)
+    bn = _bn_with_stats(12)
+    x = torch.randn(2, 6, 9, 11)
+    with torch.no_grad():
+        ref = bn(conv(x)).numpy()
+    sd = {**{f"c.{k}": v for k, v in conv.state_dict().items()},
+          **{f"b.{k}": v for k, v in bn.state_dict().items()}}
+    p = fuse_bn_conv2d(sd, "c", "b", groups=2)
+    y = core.conv2d({k: jnp.asarray(v) for k, v in p.items()},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), groups=2)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+def test_fuse_bn_deconv2d_matches_torch():
+    torch.manual_seed(1)
+    conv = nn.ConvTranspose2d(8, 8, (1, 5), stride=(1, 2), padding=(0, 2), groups=2)
+    bn = _bn_with_stats(8)
+    x = torch.randn(1, 8, 7, 33)
+    with torch.no_grad():
+        ref = bn(conv(x)).numpy()
+    sd = {**{f"c.{k}": v for k, v in conv.state_dict().items()},
+          **{f"b.{k}": v for k, v in bn.state_dict().items()}}
+    p = fuse_bn_deconv2d(sd, "c", "b", groups=2)
+    y = core.conv2d_transpose({k: jnp.asarray(v) for k, v in p.items()},
+                              jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                              stride=(1, 2), padding=(0, 2), groups=2)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
+def test_fold_ln_into_linear_matches_torch():
+    torch.manual_seed(2)
+    ln = nn.LayerNorm(10)
+    with torch.no_grad():
+        ln.weight.uniform_(0.5, 1.5)
+        ln.bias.uniform_(-0.2, 0.2)
+    lin = nn.Linear(10, 7)
+    x = torch.randn(4, 10)
+    with torch.no_grad():
+        ref = lin(ln(x)).numpy()
+    sd = {**{f"n.{k}": v for k, v in ln.state_dict().items()},
+          **{f"l.{k}": v for k, v in lin.state_dict().items()}}
+    p = fold_ln_into_linear(sd, "n", "l")
+    normed = core.layer_norm(None, jnp.asarray(x.numpy()))  # affine-free LN
+    y = core.dense({k: jnp.asarray(v) for k, v in p.items()}, normed)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
+def test_unwrap_state_dict():
+    sd = {"module.a.weight": torch.ones(2)}
+    out = unwrap_state_dict({"state_dict": sd})
+    assert "a.weight" in out
+
+
+# ── synthetic upstream-shaped checkpoints ────────────────────────────────────
+
+
+def _gtcrn_state_dict():
+    """Build a state dict with the upstream GTCRN naming and shapes."""
+    sd = {}
+
+    def conv_block(key, cin, cout, k, groups=1, deconv=False):
+        m = (nn.ConvTranspose2d if deconv else nn.Conv2d)(cin, cout, k, groups=groups)
+        sd.update({f"{key}.conv.{n}": v for n, v in m.state_dict().items()})
+        sd.update({f"{key}.bn.{n}": v for n, v in _bn_with_stats(cout).state_dict().items()})
+        sd[f"{key}.act.weight"] = torch.full((1,), 0.25)
+
+    def gt_block(key, deconv=False):
+        mod = nn.ConvTranspose2d if deconv else nn.Conv2d
+        for name, cin, cout, k, g in (
+            ("point_conv1", 24, 16, (1, 1), 1),
+            ("depth_conv", 16, 16, (3, 3), 16),
+            ("point_conv2", 16, 8, (1, 1), 1),
+        ):
+            m = mod(cin, cout, k, groups=g)
+            sd.update({f"{key}.{name}.{n}": v for n, v in m.state_dict().items()})
+        for bn_name, c in (("point_bn1", 16), ("depth_bn", 16), ("point_bn2", 8)):
+            sd.update({f"{key}.{bn_name}.{n}": v for n, v in _bn_with_stats(c).state_dict().items()})
+        sd[f"{key}.point_act.weight"] = torch.full((1,), 0.25)
+        sd[f"{key}.depth_act.weight"] = torch.full((1,), 0.25)
+        gru = nn.GRU(8, 16, 1, batch_first=True)
+        sd.update({f"{key}.tra.att_gru.{n}": v for n, v in gru.state_dict().items()})
+        fc = nn.Linear(16, 8)
+        sd.update({f"{key}.tra.att_fc.{n}": v for n, v in fc.state_dict().items()})
+
+    def dpgrnn(key):
+        for rnn_name, hid, bi in (("intra_rnn", 4, True), ("inter_rnn", 8, False)):
+            for sub in ("rnn1", "rnn2"):
+                g = nn.GRU(8, hid, 1, batch_first=True, bidirectional=bi)
+                sd.update({f"{key}.{rnn_name}.{sub}.{n}": v for n, v in g.state_dict().items()})
+        for fc in ("intra_fc", "inter_fc"):
+            sd.update({f"{key}.{fc}.{n}": v for n, v in nn.Linear(16, 16).state_dict().items()})
+        for ln in ("intra_ln", "inter_ln"):
+            m = nn.LayerNorm((33, 16))
+            sd.update({f"{key}.{ln}.{n}": v for n, v in m.state_dict().items()})
+
+    conv_block("encoder.en_convs.0", 9, 16, (1, 5))
+    conv_block("encoder.en_convs.1", 16, 16, (1, 5), groups=2)
+    for i in (2, 3, 4):
+        gt_block(f"encoder.en_convs.{i}")
+    dpgrnn("dpgrnn1")
+    dpgrnn("dpgrnn2")
+    for i in (0, 1, 2):
+        gt_block(f"decoder.de_convs.{i}", deconv=True)
+    conv_block("decoder.de_convs.3", 16, 16, (1, 5), groups=2, deconv=True)
+    conv_block("decoder.de_convs.4", 16, 2, (1, 5), deconv=True)
+    return sd
+
+
+def test_import_gtcrn_runs_forward():
+    torch.manual_seed(3)
+    params = import_checkpoint("gtcrn", _gtcrn_state_dict())
+    from audiojax.models.gtcrn import GtcrnConfig, gtcrn_forward
+
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal(8192) * 5000).astype(np.int16)[None])
+    out = gtcrn_forward(params, audio, GtcrnConfig())
+    assert out.shape == (1, 8192)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_dfsmn_matches_torch_semantics():
+    """Importer + our mask net must reproduce the ModelScope UniDeepFsmn stack."""
+    torch.manual_seed(4)
+    c, mels, bins, lorder, depth = 32, 12, 17, 5, 3
+    sd = {}
+    sd["linear1.linear.weight"] = torch.randn(c, mels)
+    sd["linear1.linear.bias"] = torch.randn(c)
+    sd["linear2.linear.weight"] = torch.randn(bins, c)
+    sd["linear2.linear.bias"] = torch.randn(bins)
+    for i in range(depth):
+        sd[f"deepfsmn.{i}.linear.weight"] = torch.randn(c, c)
+        sd[f"deepfsmn.{i}.linear.bias"] = torch.randn(c)
+        sd[f"deepfsmn.{i}.project.weight"] = torch.randn(c, c) * 0.3
+        sd[f"deepfsmn.{i}.conv1.weight"] = torch.randn(c, 1, lorder, 1) * 0.3
+
+    params = import_checkpoint("dfsmn", sd)
+    from audiojax.models.dfsmn import dfsmn_mask_net
+
+    x = torch.randn(1, 20, mels)
+    # torch golden with ModelScope semantics: h += p1 + causal_conv(p1)
+    with torch.no_grad():
+        h = torch.relu(torch.nn.functional.linear(x, sd["linear1.linear.weight"], sd["linear1.linear.bias"]))
+        for i in range(depth):
+            f1 = torch.relu(torch.nn.functional.linear(h, sd[f"deepfsmn.{i}.linear.weight"], sd[f"deepfsmn.{i}.linear.bias"]))
+            p1 = torch.nn.functional.linear(f1, sd[f"deepfsmn.{i}.project.weight"])
+            mem = torch.nn.functional.conv1d(
+                torch.nn.functional.pad(p1.transpose(1, 2), (lorder - 1, 0)),
+                sd[f"deepfsmn.{i}.conv1.weight"][..., 0], groups=c).transpose(1, 2)
+            h = h + p1 + mem
+        ref = torch.sigmoid(torch.nn.functional.linear(h, sd["linear2.linear.weight"], sd["linear2.linear.bias"])).numpy()
+
+    mask, _ = dfsmn_mask_net(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(mask), ref, atol=1e-5)
