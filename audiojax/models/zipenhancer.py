@@ -57,6 +57,10 @@ class ZipEnhancerConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 24000  # 1.5 s windows, hop-aligned — fold is ON by default
+    # compute dtype for the Zipformer stack; STFT/ISTFT, RMS norm and the
+    # mask/phase application stay float32 (the reference's fp16 plans keep the
+    # same islands full-precision, /root/reference/ZipEnhancer/Optimize_ONNX.py:30-64)
+    compute_dtype: str = "float32"
 
     @property
     def stft(self) -> StftConfig:
@@ -179,7 +183,10 @@ def decoder_pair(p, x, cfg: ZipEnhancerConfig):
 
 def zipenhancer_net(params, mag, pha, cfg: ZipEnhancerConfig):
     """compressed magnitude+phase (B, T, F) → (mag_out, phase_ri) per frame."""
-    x = jnp.stack([mag, pha], axis=-1)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+    x = jnp.stack([mag, pha], axis=-1).astype(dtype)
     x = dense_encoder(params["encoder"], x, cfg)
     for i, (t_ds, f_ds) in enumerate(cfg.encoder_downsample):
         enc = params[f"ts{i}"]
@@ -187,7 +194,8 @@ def zipenhancer_net(params, mag, pha, cfg: ZipEnhancerConfig):
             x = dualpath_encoder(enc, x, cfg)
         else:
             x = downsampled_encoder(enc, x, cfg, t_ds, f_ds)
-    return decoder_pair(params["decoder"], x, cfg)
+    mag_mask, phase_ri = decoder_pair(params["decoder"], x, cfg)
+    return mag_mask.astype(jnp.float32), phase_ri.astype(jnp.float32)
 
 
 def zipenhancer_forward(params, audio, cfg: ZipEnhancerConfig = ZipEnhancerConfig()):

@@ -80,13 +80,25 @@ def compact_rel_pos(length: int, embed_dim: int) -> jnp.ndarray:
 
 def _rel_shift(pos_scores, seq_len: int):
     """Skew trick (Export_ZipEnhancer.py:270-284):
-    out[..., i, j] = pos_scores[..., i, seq_len−1−i+j]."""
+    out[..., i, j] = pos_scores[..., i, seq_len−1−i+j].
+
+    Kept for reference/tests; the attention path below instead gathers the
+    positional table BEFORE the contraction so the huge (N, H, S, 2S−1)
+    intermediate is never materialised (it dominated HBM on long clips)."""
     n, h, s, s2 = pos_scores.shape
     x = jnp.concatenate([pos_scores[..., :1], pos_scores], axis=-1)
     x = x.reshape(n, h, s2 + 1, s)
     x = x[:, :, 1:, :]
     x = x.reshape(n, h, s, s2)
     return x[..., :seq_len]
+
+
+@lru_cache(maxsize=None)
+def _rel_index_np(s: int) -> np.ndarray:
+    """idx[i, j] = s−1−i+j into the (2s−1)-row positional table."""
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    return (s - 1 - i + j).astype(np.int32)
 
 
 def attention_weights(p, x, pos, *, num_heads: int, query_head_dim: int, pos_head_dim: int):
@@ -106,9 +118,12 @@ def attention_weights(p, x, pos, *, num_heads: int, query_head_dim: int, pos_hea
 
     pe = core.dense(p["linear_pos"], pos)  # (2S−1, H·pos_head)
     pe = pe.reshape(-1, num_heads, pos_head_dim)
-    pos_scores = jnp.einsum("nhip,rhp->nhir", pp, pe, preferred_element_type=jnp.float32)
-    scores = scores + _rel_shift(pos_scores, s)
-    return jax.nn.softmax(scores, axis=-1)
+    # gather the relative table into (S, S, H, P) BEFORE contracting: a few MB
+    # instead of the skew trick's (N, H, S, 2S−1) HBM monster
+    pe_mat = pe[jnp.asarray(_rel_index_np(s))]  # (S, S, H, P)
+    pos_scores = jnp.einsum("nhip,ijhp->nhij", pp, pe_mat, preferred_element_type=jnp.float32)
+    scores = scores + pos_scores
+    return jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # f32 softmax, compute-dtype out
 
 
 def self_attention(p, x, attn, *, num_heads: int):
@@ -117,7 +132,7 @@ def self_attention(p, x, attn, *, num_heads: int):
     v = core.dense(p["in_proj"], x).reshape(n, s, num_heads, -1)
     v = jnp.swapaxes(v, 1, 2)
     y = jnp.einsum("nhij,nhjv->nhiv", attn, v, preferred_element_type=jnp.float32)
-    y = jnp.swapaxes(y, 1, 2).reshape(n, s, -1)
+    y = jnp.swapaxes(y, 1, 2).reshape(n, s, -1).astype(x.dtype)
     return core.dense(p["out_proj"], y)
 
 
@@ -127,7 +142,7 @@ def nonlin_attention(p, x, attn0):
     hidden = h.shape[-1] // 3
     s, mid, y = h[..., :hidden], h[..., hidden : 2 * hidden], h[..., 2 * hidden :]
     mid = jnp.tanh(s) * mid
-    mid = jnp.einsum("nij,njc->nic", attn0, mid, preferred_element_type=jnp.float32)
+    mid = jnp.einsum("nij,njc->nic", attn0, mid, preferred_element_type=jnp.float32).astype(x.dtype)
     return core.dense(p["out_proj"], mid * y)
 
 

@@ -119,3 +119,18 @@ def test_forward_contract():
     assert out.shape == (1, 4000)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_pre_gather_equals_skew_trick():
+    """The (S,S) pre-gathered positional contraction must equal the reference
+    skew-trick rel-shift."""
+    import jax.numpy as jnp
+    from audiojax.nn.zipformer import _rel_index_np, _rel_shift
+
+    rng = np.random.default_rng(9)
+    n, h, s, p = 2, 3, 7, 4
+    pp = jnp.asarray(rng.standard_normal((n, h, s, p)).astype(np.float32))
+    pe = jnp.asarray(rng.standard_normal((2 * s - 1, h, p)).astype(np.float32))
+    skew = _rel_shift(jnp.einsum("nhip,rhp->nhir", pp, pe), s)
+    direct = jnp.einsum("nhip,ijhp->nhij", pp, pe[jnp.asarray(_rel_index_np(s))])
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(skew), atol=1e-5)
