@@ -203,7 +203,9 @@ def gtcrn_forward(params, audio, cfg: GtcrnConfig = GtcrnConfig()):
     if cfg.fold_window:
         x = fold_windows(x, cfg.fold_window)
 
-    spec = stft_packed(x, cfg.stft)
+    from ..ops.stft_pallas import fast_stft_packed
+
+    spec = fast_stft_packed(x, cfg.stft)  # Pallas-fused on TPU (hop is 128-aligned)
     enhanced = gtcrn_net(params, spec, cfg)
     y = istft_packed(enhanced, cfg.stft)
 

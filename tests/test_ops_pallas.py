@@ -1,0 +1,23 @@
+"""Pallas fused STFT kernel vs the jnp reference path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiojax.dsp import StftConfig, stft_packed
+from audiojax.ops.stft_pallas import stft_packed_pallas
+
+
+@pytest.mark.parametrize("cfg,length", [
+    (StftConfig(512, 256, window="hann_sqrt", pad_mode="reflect"), 16000),
+    (StftConfig(400, 100, window="hann", pad_mode="reflect"), 8000),
+    (StftConfig(1024, 256, window="hann", pad_mode="constant"), 9984),
+])
+def test_pallas_stft_matches_jnp(cfg, length):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, length)).astype(np.float32))
+    ref = np.asarray(stft_packed(x, cfg))
+    out = np.asarray(stft_packed_pallas(x, cfg, frames_per_block=32, interpret=True))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-4 * scale)
