@@ -1,0 +1,94 @@
+"""ctypes bridge to the native (C++) runtime hot paths.
+
+Builds ``native/audioio.cc`` with g++ on first use (cached as a .so beside
+the source) and exposes WAV decoding and window slicing.  Everything here has
+a pure-numpy fallback (audio_io.py / session.py), so the native layer is an
+accelerator, never a hard dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["available", "read_wav_mono16", "slice_windows"]
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "audioio.cc"
+_SO = _SRC.with_suffix(".so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_SO))
+        lib.wav_parse_header.restype = ctypes.c_int
+        lib.wav_decode_mono16.restype = ctypes.c_int
+        lib.slice_windows.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_wav_mono16(path) -> tuple[np.ndarray, int]:
+    """Native WAV decode → (int16 mono samples, sample_rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    data = np.frombuffer(Path(path).read_bytes(), dtype=np.uint8)
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    is_f = ctypes.c_int32()
+    n = ctypes.c_int64()
+    off = ctypes.c_int64()
+    rc = lib.wav_parse_header(
+        data.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(data.size),
+        ctypes.byref(ch), ctypes.byref(rate), ctypes.byref(bits),
+        ctypes.byref(is_f), ctypes.byref(n), ctypes.byref(off),
+    )
+    if rc != 0:
+        raise ValueError(f"invalid WAV file ({rc}): {path}")
+    out = np.empty(n.value, np.int16)
+    rc = lib.wav_decode_mono16(
+        data.ctypes.data_as(ctypes.c_void_p), off, n,
+        ch, bits, is_f, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"unsupported WAV payload ({rc}): {path}")
+    return out, rate.value
+
+
+def slice_windows(audio: np.ndarray, window: int, stride: int, pad_head: int,
+                  num_windows: int) -> np.ndarray:
+    """Native fixed-window slicing with PAD_HEAD prefix and tail zero-pad."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    audio = np.ascontiguousarray(audio, np.int16)
+    out = np.empty((num_windows, window), np.int16)
+    rc = lib.slice_windows(
+        audio.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(audio.size),
+        ctypes.c_int64(window), ctypes.c_int64(stride), ctypes.c_int64(pad_head),
+        ctypes.c_int64(num_windows), out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("slice_windows failed")
+    return out

@@ -97,8 +97,14 @@ class Session:
 
         w, stride, num = self._window_geometry(total)
         need = (num - 1) * stride + w
+        from . import native as _native
+
         batches = []
         for a in prepped:
+            if a.ndim == 2 and a.shape[0] == 1 and _native.available():
+                # native hot path: C++ window slicing (pads the tail itself)
+                batches.append(_native.slice_windows(a[0], w, stride, 0, num))
+                continue
             if a.shape[-1] < need:
                 a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, need - a.shape[-1])])
             wins = np.stack([a[..., s : s + w] for s in range(0, num * stride, stride)])
