@@ -1,0 +1,33 @@
+"""RTF measurement (the reference's per-script timing, SURVEY.md §5, done right
+for the async TPU dispatch path)."""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["measure_rtf"]
+
+
+def measure_rtf(fn, params, audio, *, sample_rate: int, iters: int = 20,
+                warmup: bool = True) -> dict:
+    """Steady-state real-time factor of ``fn(params, audio) -> audio-like``.
+
+    Executions are CHAINED (output feeds input — both are int16 of identical
+    shape) and synced once by a host transfer, because ``block_until_ready``
+    is a no-op under async remote dispatch (e.g. the axon TPU tunnel).
+    """
+    if warmup:
+        np.asarray(fn(params, audio))
+    x = audio
+    start = time.perf_counter()
+    for _ in range(iters):
+        x = fn(params, x)
+    np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 8),)])
+    elapsed = (time.perf_counter() - start) / iters
+    duration = audio.shape[-1] / sample_rate
+    return {
+        "latency_s": elapsed,
+        "audio_s": duration,
+        "rtf": elapsed / duration,
+    }

@@ -22,13 +22,9 @@ BASELINES = {"zipenhancer": 0.32, "gtcrn": 0.0036}
 
 
 def _bench_model(fn, params, audio, iters: int) -> float:
-    np.asarray(fn(params, audio))  # compile + warm
-    x = audio
-    start = time.perf_counter()
-    for _ in range(iters):
-        x = fn(params, x)
-    np.asarray(x[0, :8])
-    return (time.perf_counter() - start) / iters
+    from audiojax.utils import measure_rtf
+
+    return measure_rtf(fn, params, audio, sample_rate=16000, iters=iters)["latency_s"]
 
 
 def main():
