@@ -146,3 +146,35 @@ def validate_manifest_dict(data: dict) -> None:
             f"manifest is missing required keys: {missing}. "
             "Re-export the model artifact with audiojax.runtime.export."
         )
+
+
+def main(argv=None):
+    """Manifest inspector (the reference's inspect_audio_metadata.py
+    equivalent): print all keys, exit non-zero when required keys are missing.
+
+        python -m audiojax.runtime.manifest <artifact_dir_or_manifest.json>
+    """
+    import argparse
+    import json as _json
+    import sys
+    from pathlib import Path as _P
+
+    ap = argparse.ArgumentParser(description="audiojax manifest inspector")
+    ap.add_argument("path", help="manifest.json or artifact directory")
+    args = ap.parse_args(argv)
+    p = _P(args.path)
+    if p.is_dir():
+        p = p / "manifest.json"
+    data = _json.loads(p.read_text())
+    for k in sorted(data):
+        print(f"{k} = {data[k]!r}")
+    missing = [k for k in REQUIRED_KEYS if k not in data or data[k] in (None, "")]
+    if missing:
+        print(f"MISSING required keys: {missing}", file=sys.stderr)
+        return 1
+    print(f"OK: all {len(REQUIRED_KEYS)} required keys present")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,3 +28,39 @@ def test_measure_rtf_shapes():
     assert out["audio_s"] == 1.0
     assert out["rtf"] > 0
     assert len(calls) == 4  # warmup + 3
+
+
+def test_quantize_roundtrip_and_size():
+    import jax.numpy as jnp
+    from audiojax.utils.quantize import dequantize_tree, quantize_tree, quantized_bytes
+
+    rng = np.random.default_rng(0)
+    params = {
+        "big": {"w": jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32))},
+        "small": {"b": jnp.asarray(rng.standard_normal(64).astype(np.float32))},
+    }
+    q = quantize_tree(params)
+    assert "q8" in q["big"]["w"] and hasattr(q["small"]["b"], "dtype")  # bias untouched
+    d = dequantize_tree(q)
+    w = np.asarray(params["big"]["w"])
+    err = np.abs(np.asarray(d["big"]["w"]) - w).max()
+    assert err <= np.abs(w).max() / 127.0 + 1e-6  # one quantization step
+    qb, fb = quantized_bytes(q)
+    assert qb < 0.3 * fb
+
+
+def test_quantized_melband_runs():
+    import jax, jax.numpy as jnp
+    from audiojax.models.melband_roformer import MelBandConfig, init_melband, melband_forward
+    from audiojax.utils.quantize import dequantize_tree, quantize_tree
+
+    cfg = MelBandConfig(n_fft=256, hop=64, num_bands=8, dim=32, depth=1, heads=2,
+                        dim_head=16, mlp_expansion=2)
+    params = init_melband(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params)
+    audio = jnp.asarray((np.random.default_rng(1).standard_normal(4410) * 8000).astype(np.int16)[None])
+    ref = np.asarray(melband_forward(params, audio, cfg)).astype(np.float64)
+    out = np.asarray(melband_forward(dequantize_tree(qparams), audio, cfg)).astype(np.float64)
+    # q8f32 outputs track the float model closely
+    snr = 10 * np.log10(np.sum(ref**2) / max(np.sum((ref - out) ** 2), 1e-9))
+    assert snr > 20, snr
