@@ -138,6 +138,93 @@ def dfsmn_forward(params, audio, cfg: DfsmnConfig = DfsmnConfig()):
     return pcm_out(y)
 
 
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (the SURVEY.md §5 "north star": state-carry replaces stateless
+# windowing — bit-consistent with the offline path in steady state)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def dfsmn_stream_init(cfg: DfsmnConfig, batch: int = 1):
+    """Fresh streaming state: audio tail (n_fft−hop raw samples), per-layer
+    FSMN memories, and the overlap-add tail of the synthesis window."""
+    carry = cfg.n_fft - cfg.hop
+    return {
+        "audio_tail": jnp.zeros((batch, carry), jnp.float32),
+        "fsmn": [
+            jnp.zeros((batch, cfg.lorder - 1, cfg.hidden), jnp.float32)
+            for _ in range(cfg.depth)
+        ],
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def _steady_cola_np(cfg: DfsmnConfig) -> "np.ndarray":
+    """Steady-state COLA divisor: the hop-periodic window² overlap sum."""
+    import numpy as np
+
+    from ..dsp.windows import get_window
+
+    w2 = get_window("hamming_periodic", cfg.n_fft) ** 2
+    k = cfg.n_fft // cfg.hop
+    acc = np.zeros(cfg.hop)
+    for i in range(k):
+        acc += w2[i * cfg.hop : (i + 1) * cfg.hop]
+    return (1.0 / acc).astype("float32")
+
+
+def dfsmn_stream_step(params, state, chunk, cfg: DfsmnConfig = DfsmnConfig()):
+    """One streaming step: int16 chunk (B, k·hop) → (state, int16 out (B, k·hop)).
+
+    Semantics: the stream processes the input as if (n_fft − hop) zeros were
+    prepended — output sample i equals the offline path's output on that
+    zero-prepended signal for i ≥ hop (same frame sequence, same FSMN state
+    trajectory, same OLA sums) to within 1 int16 LSB (f32 reassociation
+    between the chunked and whole-clip graphs).  Relative to the plain offline
+    output the stream is therefore delayed by (n_fft − hop) samples, and the
+    extra zero-context first frame perturbs the mask only within the FSMN
+    receptive field, 1 + depth·(lorder−1) frames (see tests/test_dfsmn.py).
+    """
+    import numpy as np
+
+    assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    x = pcm_in(chunk)
+    buf = jnp.concatenate([state["audio_tail"], x], axis=-1)
+
+    frames = frame_signal(buf, cfg.frame_cfg)  # k frames
+    fbank = log_mel_fbank(
+        buf, frame_len=cfg.n_fft, hop=cfg.hop, nfft=cfg.kaldi_nfft,
+        n_mels=cfg.n_mels, fs=cfg.sample_rate, preemph=cfg.preemph,
+        power_scale=1.0 / (INV_INT16 * INV_INT16), frames=frames,
+    )
+    basis = jnp.asarray(_stft_basis_np(cfg.frame_cfg))
+    spec = jnp.einsum("...tn,nf->...tf", frames, basis,
+                      preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+
+    mask, fsmn_state = dfsmn_mask_net(params, fbank, state["fsmn"])
+    masked = spec * jnp.concatenate([mask, mask], axis=-1)
+
+    from ..dsp.stft import _istft_basis_np, overlap_add
+
+    ibasis = jnp.asarray(_istft_basis_np(cfg.istft_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", masked, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)  # (B, k·hop + n_fft − hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(_steady_cola_np(cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "audio_tail": buf[:, -carry:],
+        "fsmn": fsmn_state,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
+
+
 def init_dfsmn(key, cfg: DfsmnConfig = DfsmnConfig()):
     ks = jax.random.split(key, cfg.depth + 2)
     layers = []

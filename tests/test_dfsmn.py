@@ -127,3 +127,66 @@ def test_forward_contract():
     assert out.shape == (1, 50000)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_streaming_pipeline_bit_exact_vs_zero_padded_offline():
+    """The streaming pipeline's semantics: it processes the input as if
+    (n_fft - hop) zeros were prepended.  Against the offline path on that
+    zero-prepended signal it must match from the first full-overlap sample
+    (index hop) onward to within 1 int16 LSB — same frame sequence, same FSMN
+    state trajectory, same OLA sums; f32 reassociation between the chunked
+    and whole-clip graphs accounts for the LSB."""
+    from audiojax.models.dfsmn import dfsmn_stream_init, dfsmn_stream_step
+
+    cfg = DfsmnConfig(depth=2, hidden=32)
+    params = init_dfsmn(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(7)
+    total = 16 * cfg.hop
+    audio = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    carry = cfg.n_fft - cfg.hop
+    padded = np.concatenate([np.zeros(carry, np.int16), audio])
+    offline = np.asarray(dfsmn_forward(params, jnp.asarray(padded[None]), cfg))[0]
+
+    state = dfsmn_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = dfsmn_stream_step(params, state, jnp.asarray(audio[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    np.testing.assert_allclose(
+        streamed[cfg.hop : total].astype(np.int32),
+        offline[cfg.hop : total].astype(np.int32),
+        atol=1,
+    )
+
+
+def test_streaming_pipeline_matches_offline_interior():
+    """Past the FSMN receptive field (1 + depth*(lorder-1) frames — the reach
+    of the stream's extra zero-context first frame), chunked streaming matches
+    the plain offline path with a (n_fft - hop)-sample delay."""
+    from audiojax.models.dfsmn import dfsmn_stream_init, dfsmn_stream_step
+
+    cfg = DfsmnConfig(depth=2, hidden=32, lorder=4)
+    params = init_dfsmn(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(7)
+    total = 32 * cfg.hop
+    audio = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    offline = np.asarray(dfsmn_forward(params, jnp.asarray(audio[None]), cfg))[0]
+
+    state = dfsmn_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = dfsmn_stream_step(params, state, jnp.asarray(audio[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = cfg.n_fft - cfg.hop
+    rf_frames = 1 + cfg.depth * (cfg.lorder - 1)
+    lo = (rf_frames + 3) * cfg.hop
+    hi = total - cfg.n_fft - delay
+    a = offline[lo:hi].astype(np.int32)
+    b = streamed[lo + delay : hi + delay].astype(np.int32)
+    np.testing.assert_allclose(a, b, atol=1)
