@@ -1,17 +1,24 @@
 from .audio_io import read_wav, resample_np, to_mono, write_wav
 from .checkpoint import load_artifact, save_artifact
 from .manifest import Manifest, validate_manifest_dict
+from .optimize import PLANS, Plan, apply_plan, optimize_artifact, plan_for, wrap_forward
 from .session import Session, SessionResult
 
 __all__ = [
     "Manifest",
+    "PLANS",
+    "Plan",
     "Session",
     "SessionResult",
+    "apply_plan",
     "load_artifact",
+    "optimize_artifact",
+    "plan_for",
     "read_wav",
     "resample_np",
     "save_artifact",
     "to_mono",
     "validate_manifest_dict",
+    "wrap_forward",
     "write_wav",
 ]

@@ -73,7 +73,9 @@ def main(argv=None):
         data = resample_np(data, rate, manifest.in_sample_rate)
         audios.append(data)
 
-    session = Session(spec.make_forward(cfg), params, manifest)
+    from .optimize import wrap_forward
+
+    session = Session(wrap_forward(spec.make_forward(cfg), manifest), params, manifest)
     result = session.process(*audios)
 
     out_base = Path(args.output) if args.output else inputs[0].with_name(inputs[0].stem + f".{spec.name}.wav")

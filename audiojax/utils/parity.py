@@ -69,7 +69,9 @@ def main(argv=None):
         if manifest.input_channels == 1:
             data = to_mono(data)[None]
         audios.append(resample_np(data, rate, manifest.in_sample_rate))
-    result = Session(spec.make_forward(cfg), params, manifest).process(*audios)
+    from ..runtime.optimize import wrap_forward
+
+    result = Session(wrap_forward(spec.make_forward(cfg), manifest), params, manifest).process(*audios)
     ref, _ = read_wav(args.reference)
     report = parity_report(to_mono(ref), result.audio, threshold_db=args.threshold)
     print(json.dumps(report))

@@ -132,3 +132,90 @@ def test_cli_end_to_end(tmp_path):
     cleaned, rate = read_wav(out)
     assert rate == 16000
     assert cleaned.shape[-1] == 20000
+
+
+# ── optimizer pipeline (Optimize_ONNX_Common.py Plan/process_model analog) ──
+
+
+def test_optimize_q8_artifact_roundtrip(tmp_path):
+    """save → optimize(q8f32) → load → serve must stay close to f32 serving,
+    with the audit report and manifest extra recording the plan."""
+    import json
+
+    from audiojax.runtime import Plan, Session, optimize_artifact, wrap_forward
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    manifest = spec.make_manifest(cfg)
+    src = save_artifact(tmp_path / "src", params, manifest)
+
+    # GTCRN is a 23.7k-param model — lower the size floor so leaves qualify
+    dst = optimize_artifact(src, tmp_path / "dst", Plan("q8f32", quantize="q8f32", q8_min_size=256))
+    report = json.loads((dst / "optimize_report.json").read_text())
+    assert report["leaves_quantized"] > 0
+    assert report["compression"] > 2.0
+
+    qparams, qmanifest = load_artifact(dst)
+    assert qmanifest.extra["optimize"]["quantize"] == "q8f32"
+
+    audio = (np.random.default_rng(0).standard_normal(16000) * 8000).astype(np.int16)[None]
+    ref = Session(spec.make_forward(cfg), params, manifest).process(audio).audio
+    out = Session(wrap_forward(spec.make_forward(cfg), qmanifest), qparams, qmanifest).process(audio).audio
+    assert out.shape == ref.shape
+    # weight-only int8 is lossy but must stay in the same ballpark
+    err = np.abs(out.astype(np.int32) - ref.astype(np.int32)).mean()
+    assert err < 2000, f"q8 output drifted too far from f32 (mean |Δ| = {err})"
+
+
+def test_optimize_bf16_artifact_roundtrip(tmp_path):
+    import json
+
+    from audiojax.runtime import PLANS, Session, optimize_artifact, wrap_forward
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    manifest = spec.make_manifest(cfg)
+    src = save_artifact(tmp_path / "src", params, manifest)
+
+    dst = optimize_artifact(src, tmp_path / "dst", PLANS["bf16"])
+    report = json.loads((dst / "optimize_report.json").read_text())
+    assert report["leaves_cast_bf16"] > 0
+
+    bparams, bmanifest = load_artifact(dst)
+    audio = (np.random.default_rng(1).standard_normal(16000) * 8000).astype(np.int16)[None]
+    ref = Session(spec.make_forward(cfg), params, manifest).process(audio).audio
+    out = Session(wrap_forward(spec.make_forward(cfg), bmanifest), bparams, bmanifest).process(audio).audio
+    err = np.abs(out.astype(np.int32) - ref.astype(np.int32)).mean()
+    assert err < 2000, f"bf16 output drifted too far from f32 (mean |Δ| = {err})"
+
+
+def test_optimize_plans_fail_closed():
+    """Contract drift aborts: dead block patterns, invalid plan combinations."""
+    from audiojax.runtime import Plan, apply_plan
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Plan("bad", quantize="q8f32", compute_dtype="bf16")
+    with pytest.raises(ValueError, match="unknown quantize"):
+        Plan("bad", quantize="int4")
+
+    params = {"lin": {"w": jax.numpy.ones((128, 128)), "b": jax.numpy.ones((128,))}}
+    with pytest.raises(ValueError, match="matched nothing"):
+        apply_plan(params, Plan("bad", compute_dtype="bf16", fp32_block=("no_such_layer",)))
+    # q8 with nothing big enough to quantize must abort, not silently no-op
+    with pytest.raises(ValueError, match="ZERO leaves"):
+        apply_plan(params, Plan("bad", quantize="q8f32", q8_min_size=1 << 20))
+
+
+def test_optimize_block_list_keeps_f32():
+    from audiojax.runtime import Plan, apply_plan
+
+    params = {
+        "stft": {"w": jax.numpy.ones((64, 64))},
+        "net": {"w": jax.numpy.ones((64, 64))},
+    }
+    out, report = apply_plan(params, Plan("p", compute_dtype="bf16", fp32_block=(r"^stft/",)))
+    assert out["stft"]["w"].dtype == jax.numpy.float32
+    assert out["net"]["w"].dtype == jax.numpy.bfloat16
+    assert report["leaves_blocked_f32"] == 1
