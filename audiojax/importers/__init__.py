@@ -14,10 +14,14 @@ from __future__ import annotations
 from . import common
 from .dfsmn import import_dfsmn
 from .gtcrn import import_gtcrn
+from .melband import import_melband
+from .nkf import import_nkf
 
 _IMPORTERS = {
     "gtcrn": import_gtcrn,
     "dfsmn": import_dfsmn,
+    "nkf_aec": import_nkf,
+    "melband_roformer": import_melband,
 }
 
 
@@ -29,4 +33,4 @@ def import_checkpoint(model_name: str, ckpt):
     return _IMPORTERS[model_name](ckpt)
 
 
-__all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn"]
+__all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn", "import_nkf"]

@@ -155,7 +155,7 @@ def prelu_alpha(sd, key):
     return {"alpha": to_np(sd[f"{key}.weight"]).astype(np.float32)}
 
 
-def stereo_to_mono_linear(w, band_widths_stereo):
+def stereo_to_mono_linear(w, band_widths_stereo=None):
     """Mel-Band mono folding: average the interleaved L/R input columns of a
     band-split Linear (/root/reference/Mel_Band_Roformer/Mono/
     Export_MelBandRoformer.py:270-344).  w: (out, 2·win) → (out, win)."""

@@ -43,6 +43,7 @@ class MelBandConfig:
     heads: int = 8
     dim_head: int = 64
     mlp_expansion: int = 4
+    mask_depth: int = 1  # hidden tanh layers in the mask-estimator MLP
     channels: int = 1  # 1 = mono, 2 = stereo
     sample_rate: int = 44100
     in_sample_rate: int = 44100
@@ -137,11 +138,14 @@ def melband_net(p, spec, cfg: MelBandConfig):
         seq = _transformer(p[f"freq{i}"], seq, fcos, fsin, cfg)
         x = jnp.transpose(seq.reshape(t, b, nb, cfg.dim), (2, 1, 0, 3))
 
-    # mask estimator: shared-width MLP batched over bands, per-band GLU head
-    h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", x, p["me_w1"],
-                            preferred_element_type=jnp.float32) + p["me_b1"][:, None, None])
-    h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, p["me_w2"],
-                            preferred_element_type=jnp.float32) + p["me_b2"][:, None, None])
+    # mask estimator: shared-width MLP batched over bands, per-band GLU head.
+    # Upstream topology (Export_MelBandRoformer.py:236-252 MLP): linear→tanh
+    # repeated mask_depth times, then a final per-band linear with NO tanh,
+    # then GLU.
+    h = x
+    for lay in p["me_hidden"]:
+        h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, lay["w"],
+                                preferred_element_type=jnp.float32) + lay["b"][:, None, None])
     masks = []
     for i, w in enumerate(widths):
         g = core.dense(p["me_out"][i], h[i])  # (B, T, 2w)
@@ -220,10 +224,15 @@ def init_melband(key, cfg: MelBandConfig = MelBandConfig()):
         for i, w in enumerate(widths)
     ]
     mk = jax.random.split(ks[-3], len(widths) + 2)
-    p["me_w1"] = jax.vmap(lambda k: core.glorot(k, (cfg.dim, inner)))(jax.random.split(mk[-2], len(widths)))
-    p["me_b1"] = jnp.zeros((len(widths), inner))
-    p["me_w2"] = jax.vmap(lambda k: core.glorot(k, (inner, inner)))(jax.random.split(mk[-1], len(widths)))
-    p["me_b2"] = jnp.zeros((len(widths), inner))
+    p["me_hidden"] = []
+    hk = jax.random.split(mk[-2], cfg.mask_depth)
+    d_in = cfg.dim
+    for j in range(cfg.mask_depth):
+        p["me_hidden"].append({
+            "w": jax.vmap(lambda k, d=d_in: core.glorot(k, (d, inner)))(jax.random.split(hk[j], len(widths))),
+            "b": jnp.zeros((len(widths), inner)),
+        })
+        d_in = inner
     p["me_out"] = [core.init_dense(mk[i], inner, 2 * w) for i, w in enumerate(widths)]
     return p
 

@@ -29,9 +29,21 @@ def save_artifact(path, params, manifest: Manifest) -> Path:
     return path
 
 
+def _relist(tree):
+    """msgpack stores Python lists as {"0": …, "1": …} dicts; restore lists so
+    reloaded params match the model's pytree structure (e.g. per-layer lists)."""
+    if isinstance(tree, dict):
+        if tree and all(isinstance(k, str) and k.isdigit() for k in tree):
+            idx = sorted(tree, key=int)
+            if [int(k) for k in idx] == list(range(len(idx))):
+                return [_relist(tree[k]) for k in idx]
+        return {k: _relist(v) for k, v in tree.items()}
+    return tree
+
+
 def load_artifact(path, params_template=None):
     """Load (params, manifest).  With a template the pytree structure/dtypes
-    are validated; without, the raw nested-dict state is returned."""
+    are validated; without, the raw nested state is returned (lists restored)."""
     from flax import serialization
 
     path = Path(path)
@@ -40,6 +52,6 @@ def load_artifact(path, params_template=None):
     if params_template is not None:
         params = serialization.from_bytes(params_template, raw)
     else:
-        params = serialization.msgpack_restore(raw)
+        params = _relist(serialization.msgpack_restore(raw))
     params = jax.tree.map(jax.numpy.asarray, params)
     return params, manifest

@@ -181,3 +181,70 @@ def test_import_dfsmn_matches_torch_semantics():
 
     mask, _ = dfsmn_mask_net(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(mask), ref, atol=1e-5)
+
+
+def test_import_nkf_kgnet_matches_torch_replica():
+    """Upstream NKF KGNet (ComplexDense pairs + complex PReLU + ComplexGRU)
+    one step vs our kg_net after the complex->real decomposition remap
+    (Export_NKF_AEC.py:414-455 key layout)."""
+    import jax
+    import torch
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.nkf_aec import NkfConfig, kg_net
+
+    torch.manual_seed(3)
+    cfg = NkfConfig()
+    d_in, fc, rnn, L = 2 * cfg.filter_order + 1, cfg.fc_dim, cfg.rnn_dim, cfg.filter_order
+
+    mods = {
+        "kg_net.fc_in.0.linear_real": torch.nn.Linear(d_in, fc),
+        "kg_net.fc_in.0.linear_imag": torch.nn.Linear(d_in, fc),
+        "kg_net.fc_out.0.linear_real": torch.nn.Linear(rnn, fc),
+        "kg_net.fc_out.0.linear_imag": torch.nn.Linear(rnn, fc),
+        "kg_net.fc_out.2.linear_real": torch.nn.Linear(fc, L),
+        "kg_net.fc_out.2.linear_imag": torch.nn.Linear(fc, L),
+    }
+    prelus = {
+        "kg_net.fc_in.1.prelu": torch.nn.PReLU(init=0.2),
+        "kg_net.fc_out.1.prelu": torch.nn.PReLU(init=0.1),
+    }
+    grus = {
+        "kg_net.complex_gru.gru_r": torch.nn.GRU(fc, rnn, batch_first=True),
+        "kg_net.complex_gru.gru_i": torch.nn.GRU(fc, rnn, batch_first=True),
+    }
+    sd = {}
+    for key, m in {**mods, **prelus, **grus}.items():
+        for pname, v in m.state_dict().items():
+            sd[f"{key}.{pname}" if not isinstance(m, torch.nn.PReLU) else f"{key}.weight"] = v
+
+    n = 5
+    x = torch.randn(n, d_in, 2)
+
+    with torch.no_grad():
+        def cdense(key, re, im):
+            return mods[f"{key}.linear_real"](re), mods[f"{key}.linear_imag"](im)
+
+        def cprelu(key, re, im):
+            p = prelus[f"{key}.prelu"]
+            return p(re), p(im)
+
+        re, im = cdense("kg_net.fc_in.0", x[..., 0], x[..., 1])
+        re, im = cprelu("kg_net.fc_in.1", re, im)
+        # complex GRU one step from zero state: y = gru_r(re)-gru_i(im) + i(gru_i(re)+gru_r(im))
+        def step(gkey, inp):
+            out, _ = grus[gkey](inp[:, None, :])
+            return out[:, 0]
+
+        y_re = step("kg_net.complex_gru.gru_r", re) - step("kg_net.complex_gru.gru_i", im)
+        y_im = step("kg_net.complex_gru.gru_i", re) + step("kg_net.complex_gru.gru_r", im)
+        re, im = cdense("kg_net.fc_out.0", y_re, y_im)
+        re, im = cprelu("kg_net.fc_out.1", re, im)
+        re, im = cdense("kg_net.fc_out.2", re, im)
+        ref = torch.stack([re, im], dim=-1).numpy()
+
+    params = import_checkpoint("nkf_aec", sd)
+    params = jax.tree.map(jnp.asarray, params)
+    zeros = tuple(jnp.zeros((n, rnn)) for _ in range(4))
+    kg, _ = kg_net(params, jnp.asarray(x.numpy()), zeros)
+    np.testing.assert_allclose(np.asarray(kg), ref, atol=2e-5)

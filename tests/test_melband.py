@@ -57,3 +57,127 @@ def test_forward_stereo_contract():
     out = melband_forward(params, audio, cfg)
     assert out.shape == (1, 2, 4410)
     assert out.dtype == jnp.int16
+
+
+# ── checkpoint importer (lucidrains layout; Export_MelBandRoformer.py parity) ──
+
+
+def _upstream_sd(cfg, widths, *, stereo_widths=None):
+    """Synthetic upstream (lucidrains-layout) state dict for a tiny config."""
+    import torch
+
+    torch.manual_seed(0)
+    inner = cfg.mlp_expansion * cfg.dim
+    dim_inner = cfg.heads * cfg.dim_head
+    sd = {}
+    bw = stereo_widths or widths
+    for b, w in enumerate(bw):
+        sd[f"band_split.to_features.{b}.0.gamma"] = torch.randn(w)
+        sd[f"band_split.to_features.{b}.1.weight"] = torch.randn(cfg.dim, w) * 0.1
+        sd[f"band_split.to_features.{b}.1.bias"] = torch.randn(cfg.dim) * 0.1
+        sd[f"mask_estimators.0.to_freqs.{b}.0.0.weight"] = torch.randn(inner, cfg.dim) * 0.1
+        sd[f"mask_estimators.0.to_freqs.{b}.0.0.bias"] = torch.randn(inner) * 0.1
+        sd[f"mask_estimators.0.to_freqs.{b}.0.2.weight"] = torch.randn(2 * w, inner) * 0.1
+        sd[f"mask_estimators.0.to_freqs.{b}.0.2.bias"] = torch.randn(2 * w) * 0.1
+    for i in range(cfg.depth):
+        for j in (0, 1):
+            base = f"layers.{i}.{j}"
+            sd[f"{base}.layers.0.0.norm.gamma"] = torch.randn(cfg.dim)
+            sd[f"{base}.layers.0.0.to_qkv.weight"] = torch.randn(3 * dim_inner, cfg.dim) * 0.1
+            sd[f"{base}.layers.0.0.to_gates.weight"] = torch.randn(cfg.heads, cfg.dim) * 0.1
+            sd[f"{base}.layers.0.0.to_gates.bias"] = torch.randn(cfg.heads) * 0.1
+            sd[f"{base}.layers.0.0.to_out.0.weight"] = torch.randn(cfg.dim, dim_inner) * 0.1
+            sd[f"{base}.layers.0.1.net.0.gamma"] = torch.randn(cfg.dim)
+            sd[f"{base}.layers.0.1.net.1.weight"] = torch.randn(inner, cfg.dim) * 0.1
+            sd[f"{base}.layers.0.1.net.1.bias"] = torch.randn(inner) * 0.1
+            sd[f"{base}.layers.0.1.net.4.weight"] = torch.randn(cfg.dim, inner) * 0.1
+            sd[f"{base}.layers.0.1.net.4.bias"] = torch.randn(cfg.dim) * 0.1
+            sd[f"{base}.norm.gamma"] = torch.randn(cfg.dim)
+    return sd
+
+
+def test_import_melband_structure_and_forward():
+    from audiojax.importers import import_checkpoint
+
+    cfg = _tiny()
+    _, widths, _ = band_layout(cfg)
+    sd = _upstream_sd(cfg, widths)
+    from audiojax.importers.melband import import_melband
+
+    params = import_melband(sd, cfg)
+    ref = init_melband(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        assert tuple(r.shape) == tuple(np.asarray(g).shape)
+
+    audio = (np.random.default_rng(0).standard_normal(4410) * 8000).astype(np.int16)[None]
+    out = melband_forward(jax.tree.map(jnp.asarray, params), jnp.asarray(audio), cfg)
+    assert out.shape == audio.shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_melband_mask_estimator_matches_torch():
+    """Imported mask-estimator weights through our tanh-stack + GLU must equal
+    the upstream Sequential(MLP, GLU) exactly."""
+    import torch
+
+    from audiojax.importers.melband import import_melband
+
+    cfg = _tiny()
+    _, widths, _ = band_layout(cfg)
+    sd = _upstream_sd(cfg, widths)
+    params = import_melband(sd, cfg)
+
+    b = 2
+    x = torch.randn(7, cfg.dim)
+    with torch.no_grad():
+        h = torch.tanh(torch.nn.functional.linear(
+            x, sd[f"mask_estimators.0.to_freqs.{b}.0.0.weight"],
+            sd[f"mask_estimators.0.to_freqs.{b}.0.0.bias"]))
+        g = torch.nn.functional.linear(
+            h, sd[f"mask_estimators.0.to_freqs.{b}.0.2.weight"],
+            sd[f"mask_estimators.0.to_freqs.{b}.0.2.bias"])
+        ref = torch.nn.functional.glu(g, dim=-1).numpy()
+
+    xj = jnp.asarray(x.numpy())
+    h = jnp.tanh(xj @ jnp.asarray(params["me_hidden"][0]["w"][b]) + jnp.asarray(params["me_hidden"][0]["b"][b]))
+    g = h @ jnp.asarray(params["me_out"][b]["w"]) + jnp.asarray(params["me_out"][b]["b"])
+    w = widths[b]
+    ours = np.asarray(g[..., :w] * jax.nn.sigmoid(g[..., w:]))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_import_melband_stereo_to_mono_fold():
+    """Folded mono weights must behave like the stereo weights on an L=R
+    input: band-split features equal, and the mono mask equals the L/R mask
+    average (Export_MelBandRoformer.py:270-344 semantics)."""
+    from audiojax.importers.melband import import_melband
+
+    mono = _tiny(ch=1)
+    stereo = _tiny(ch=2)
+    _, widths_m, _ = band_layout(mono)
+    _, widths_s, _ = band_layout(stereo)
+    assert tuple(2 * w for w in widths_m) == tuple(widths_s)
+    sd = _upstream_sd(mono, widths_m, stereo_widths=widths_s)
+    params = import_melband(sd, mono)  # auto-detects stereo ckpt, folds
+
+    rng = np.random.default_rng(3)
+    b = 1
+    wm = widths_m[b]
+    x = rng.standard_normal(wm).astype(np.float32)  # mono band features
+    # stereo input with L = R = x: interleave per (bin, complex) pair
+    xs = np.repeat(x.reshape(-1, 2), 2, axis=0).reshape(-1)
+    w_st = np.asarray(sd[f"band_split.to_features.{b}.1.weight"])
+    w_mo = params["band_split"][b]["lin"]["w"]  # (wm, dim), already transposed
+    # mono columns are the L/R AVERAGE, so on an L=R input: W_m x = ½ · W_st xs
+    np.testing.assert_allclose(x @ w_mo, 0.5 * (w_st @ xs), atol=1e-5)
+
+    # pre-GLU rows: mono output = L/R average of stereo outputs per (re, im)
+    h = rng.standard_normal(mono.mlp_expansion * mono.dim).astype(np.float32)
+    w_g = np.asarray(sd[f"mask_estimators.0.to_freqs.{b}.0.2.weight"])
+    b_g = np.asarray(sd[f"mask_estimators.0.to_freqs.{b}.0.2.bias"])
+    g_st = w_g @ h + b_g  # (2 * 2*wm,)
+    halves = g_st.reshape(2, -1)  # per GLU half: (4*fi,) = (fi, ch, complex)
+    expect = halves.reshape(2, -1, 2, 2).mean(axis=2).reshape(2, -1).reshape(-1)
+    g_mo = h @ params["me_out"][b]["w"] + params["me_out"][b]["b"]
+    np.testing.assert_allclose(g_mo, expect, atol=1e-5)

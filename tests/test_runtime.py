@@ -219,3 +219,14 @@ def test_optimize_block_list_keeps_f32():
     assert out["stft"]["w"].dtype == jax.numpy.float32
     assert out["net"]["w"].dtype == jax.numpy.bfloat16
     assert report["leaves_blocked_f32"] == 1
+
+
+def test_checkpoint_roundtrip_restores_lists(tmp_path):
+    """Params trees with per-layer LISTS must survive the msgpack round-trip
+    (msgpack stores lists as string-keyed dicts)."""
+    params = {"layers": [{"w": jax.numpy.ones((3, 3))}, {"w": jax.numpy.zeros((3, 3))}],
+              "head": {"w": jax.numpy.ones((3, 2))}}
+    save_artifact(tmp_path / "a", params, _manifest())
+    loaded, _ = load_artifact(tmp_path / "a")
+    assert jax.tree.structure(loaded) == jax.tree.structure(params)
+    np.testing.assert_array_equal(np.asarray(loaded["layers"][1]["w"]), 0)
