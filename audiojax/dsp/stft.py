@@ -44,6 +44,7 @@ __all__ = [
     "pad_center",
     "frame_signal",
     "overlap_add",
+    "steady_cola_np",
     "stft",
     "stft_packed",
     "stft_real",
@@ -208,6 +209,20 @@ def frame_signal(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     segs = [rows[..., k : k + n_t, :] for k in range(k_seg)]
     frames = jnp.concatenate(segs, axis=-1)
     return frames[..., : cfg.n_fft]
+
+
+def steady_cola_np(cfg: StftConfig) -> np.ndarray:
+    """Steady-state reciprocal COLA divisor: one hop of the hop-periodic
+    window² overlap sum (the reference detects hop-periodicity and stores one
+    hop of the static norm, /root/reference/GTCRN/STFT_Process.py:253-274).
+    Streaming ISTFT paths tile this over emitted samples."""
+    w2 = _window_np(cfg) ** 2
+    k = -(-cfg.n_fft // cfg.hop)
+    acc = np.zeros(cfg.hop)
+    for i in range(k):
+        seg = w2[i * cfg.hop : (i + 1) * cfg.hop]
+        acc[: len(seg)] += seg
+    return (1.0 / np.maximum(acc, 1e-12)).astype(np.float32)
 
 
 def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:

@@ -158,18 +158,11 @@ def dfsmn_stream_init(cfg: DfsmnConfig, batch: int = 1):
     }
 
 
-def _steady_cola_np(cfg: DfsmnConfig) -> "np.ndarray":
-    """Steady-state COLA divisor: the hop-periodic window² overlap sum."""
-    import numpy as np
+def _steady_cola_np(cfg: DfsmnConfig):
+    """Steady-state COLA divisor of the synthesis window (dsp.stft helper)."""
+    from ..dsp.stft import steady_cola_np
 
-    from ..dsp.windows import get_window
-
-    w2 = get_window("hamming_periodic", cfg.n_fft) ** 2
-    k = cfg.n_fft // cfg.hop
-    acc = np.zeros(cfg.hop)
-    for i in range(k):
-        acc += w2[i * cfg.hop : (i + 1) * cfg.hop]
-    return (1.0 / acc).astype("float32")
+    return steady_cola_np(cfg.istft_cfg)
 
 
 def dfsmn_stream_step(params, state, chunk, cfg: DfsmnConfig = DfsmnConfig()):

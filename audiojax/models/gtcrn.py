@@ -42,10 +42,12 @@ class GtcrnConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0  # batch-fold window length in samples; 0 = off
+    center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
     def stft(self) -> StftConfig:
-        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode=self.pad_mode)
+        return StftConfig(self.n_fft, self.hop, window=self.window,
+                          pad_mode=self.pad_mode, center=self.center)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -68,12 +70,15 @@ def sfe(x, kernel: int = 3):
     return jnp.stack(shifted, axis=-1).reshape(*x.shape[:-1], x.shape[-1] * kernel)
 
 
-def tra(p, x):
+def tra(p, x, h=None, *, return_state: bool = False):
     """Temporal recurrent attention: GRU over per-frame channel energies
-    (/root/reference/GTCRN/Export_GTCRN.py:144-156)."""
+    (/root/reference/GTCRN/Export_GTCRN.py:144-156).  ``h`` carries the GRU
+    state across streaming chunks."""
     z = jnp.mean(jnp.square(x), axis=-2)  # (B, T, C)
-    a = jax.nn.sigmoid(core.dense(p["fc"], rnn.gru(p["gru"], z)))
-    return x * a[..., None, :]
+    g, h_last = rnn.gru(p["gru"], z, h, return_state=True)
+    a = jax.nn.sigmoid(core.dense(p["fc"], g))
+    y = x * a[..., None, :]
+    return (y, h_last) if return_state else y
 
 
 def conv_block(p, x, *, stride, padding, groups=1, deconv=False, last=False):
@@ -82,37 +87,50 @@ def conv_block(p, x, *, stride, padding, groups=1, deconv=False, last=False):
     return jnp.tanh(y) if last else core.prelu(p, y)
 
 
-def gt_conv_block(p, x, *, dilation: int, deconv: bool):
+def gt_conv_block(p, x, *, dilation: int, deconv: bool, state=None):
     """Group temporal conv block (/root/reference/GTCRN/Export_GTCRN.py:200-324).
 
     Causal over time: encoder pads (k-1)*d zero frames on the left; decoder
-    uses a transposed conv and trims the (k-1)*d tail frames.
+    uses a transposed conv and trims the (k-1)*d tail frames — both depend
+    only on the current and previous 2·dilation frames, so streaming carries
+    a ``cache`` of those frames plus the TRA GRU state.
     """
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     pad_t = 2 * dilation  # (kernel_t - 1) * dilation with kernel_t = 3
 
     h = core.prelu(p["pc1"], core.conv2d(p["pc1"], sfe(x1)))
-    if deconv:
-        h = core.conv2d_transpose(p["depth"], h, padding=(0, 1), dilation=(dilation, 1),
-                                  groups=h.shape[-1])
-        h = h[:, :-pad_t]
+    if state is None:
+        hist = jnp.zeros((h.shape[0], pad_t) + h.shape[2:], h.dtype)
     else:
-        zeros = jnp.zeros((h.shape[0], pad_t) + h.shape[2:], h.dtype)
-        h = jnp.concatenate([zeros, h], axis=1)
-        h = core.conv2d(p["depth"], h, padding=(0, 1), dilation=(dilation, 1),
-                        groups=h.shape[-1])
+        hist = state["cache"]
+    hx = jnp.concatenate([hist, h], axis=1)  # (B, pad_t + T, F, C)
+    new_cache = hx[:, -pad_t:]
+    if deconv:
+        y = core.conv2d_transpose(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
+                                  groups=hx.shape[-1])
+        h = y[:, pad_t:-pad_t]  # drop history-only head + future tail
+    else:
+        h = core.conv2d(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
+                        groups=hx.shape[-1])
     h = core.prelu(p["depth_a"], h)
     h = core.conv2d(p["pc2"], h)
-    h = tra(p["tra"], h)
+    h, tra_h = tra(p["tra"], h, None if state is None else state["tra"], return_state=True)
     # interleave transformed/bypass channels: out[2i]=h[i], out[2i+1]=x2[i]
-    return jnp.stack([h, x2], axis=-1).reshape(*x.shape[:-1], 2 * half)
+    out = jnp.stack([h, x2], axis=-1).reshape(*x.shape[:-1], 2 * half)
+    if state is None:
+        return out
+    return out, {"cache": new_cache, "tra": tra_h}
 
 
-def dpgrnn(p, x, *, width: int, hidden: int):
+def dpgrnn(p, x, *, width: int, hidden: int, state=None, return_state: bool = False):
     """Grouped dual-path RNN over (freq=width) then (time), with per-path
     Linear + LayerNorm((width, hidden)) + residual
-    (/root/reference/GTCRN/Export_GTCRN.py:431-481)."""
+    (/root/reference/GTCRN/Export_GTCRN.py:431-481).
+
+    The intra path runs over frequency (stateless in time); the inter path is
+    a unidirectional GRU over time whose hidden state (G=2, B·width, C/2)
+    carries across streaming chunks via ``state``."""
     b, t, w, c = x.shape
 
     intra = x.reshape(b * t, w, c)
@@ -121,9 +139,10 @@ def dpgrnn(p, x, *, width: int, hidden: int):
     x = x + core.layer_norm(p["intra_ln"], intra, ndims=2, eps=1e-8)
 
     inter = jnp.swapaxes(x, 1, 2).reshape(b * w, t, c)
-    inter = rnn.grouped_gru(p["inter"], inter, groups=2)
+    inter, h_last = rnn.grouped_gru(p["inter"], inter, groups=2, h0=state, return_state=True)
     inter = core.dense(p["inter_fc"], inter).reshape(b, w, t, hidden)
-    return x + core.layer_norm(p["inter_ln"], jnp.swapaxes(inter, 1, 2), ndims=2, eps=1e-8)
+    out = x + core.layer_norm(p["inter_ln"], jnp.swapaxes(inter, 1, 2), ndims=2, eps=1e-8)
+    return (out, h_last) if return_state else out
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -133,11 +152,14 @@ def dpgrnn(p, x, *, width: int, hidden: int):
 _ENC_DIL = (1, 2, 5)
 
 
-def gtcrn_backbone(p, feat, cfg: GtcrnConfig):
+def gtcrn_backbone(p, feat, cfg: GtcrnConfig, state=None):
     """ERB-compressed feature map (B, T, F, C) → complex mask (B, T, F, 2).
 
     Shared by GTCRN (3-channel [mag, re, im] features) and H-GTCRN's GTCRN-IVA
     (6-channel spatial features, /root/reference/H-GTCRN/Export_H_GTCRN.py:1005-1030).
+    With ``state`` (from :func:`gtcrn_stream_init`) all temporal context —
+    depthwise conv caches, TRA GRU states, dual-path inter GRU states — is
+    carried across chunks and ``(mask, new_state)`` is returned.
     """
     feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft)
     feat = sfe(feat)  # (B, T, 129, 3C)
@@ -146,19 +168,37 @@ def gtcrn_backbone(p, feat, cfg: GtcrnConfig):
     skips = [e]
     e = conv_block(p["enc1"], e, stride=(1, 2), padding=(0, 2), groups=2)
     skips.append(e)
+    ns = {"enc_gt": [], "dec_gt": []} if state is not None else None
     for i, d in enumerate(_ENC_DIL):
-        e = gt_conv_block(p[f"enc_gt{i}"], e, dilation=d, deconv=False)
+        if state is None:
+            e = gt_conv_block(p[f"enc_gt{i}"], e, dilation=d, deconv=False)
+        else:
+            e, s = gt_conv_block(p[f"enc_gt{i}"], e, dilation=d, deconv=False,
+                                 state=state["enc_gt"][i])
+            ns["enc_gt"].append(s)
         skips.append(e)
 
-    e = dpgrnn(p["dp1"], e, width=cfg.width, hidden=cfg.channels)
-    e = dpgrnn(p["dp2"], e, width=cfg.width, hidden=cfg.channels)
+    if state is None:
+        e = dpgrnn(p["dp1"], e, width=cfg.width, hidden=cfg.channels)
+        e = dpgrnn(p["dp2"], e, width=cfg.width, hidden=cfg.channels)
+    else:
+        e, ns["dp1"] = dpgrnn(p["dp1"], e, width=cfg.width, hidden=cfg.channels,
+                              state=state["dp1"], return_state=True)
+        e, ns["dp2"] = dpgrnn(p["dp2"], e, width=cfg.width, hidden=cfg.channels,
+                              state=state["dp2"], return_state=True)
 
     for i, d in enumerate(reversed(_ENC_DIL)):
-        e = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d, deconv=True)
+        if state is None:
+            e = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d, deconv=True)
+        else:
+            e, s = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d, deconv=True,
+                                 state=state["dec_gt"][i])
+            ns["dec_gt"].append(s)
     e = conv_block(p["dec1"], e + skips[1], stride=(1, 2), padding=(0, 2), groups=2, deconv=True)
     m = conv_block(p["dec0"], e + skips[0], stride=(1, 2), padding=(0, 2), deconv=True, last=True)
 
-    return erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft)  # (B, T, F, 2)
+    mask = erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft)  # (B, T, F, 2)
+    return mask if state is None else (mask, ns)
 
 
 def gtcrn_net(p, spec_ri, cfg: GtcrnConfig):
@@ -215,6 +255,87 @@ def gtcrn_forward(params, audio, cfg: GtcrnConfig = GtcrnConfig()):
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, y.shape[-1] * cfg.out_sample_rate // cfg.sample_rate)
     return pcm_out(y)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (state-carry serving: the SURVEY.md §5 "north star" — the
+# reference runs GTCRN stateless per window; here every temporal dependency
+# is an explicit carried state, so chunks stream with (n_fft − hop) latency)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def gtcrn_stream_init(cfg: GtcrnConfig = GtcrnConfig(), batch: int = 1):
+    """Fresh streaming state: audio framing tail, per-block depthwise conv
+    caches + TRA GRU states, dual-path inter GRU states, and the synthesis
+    overlap-add tail."""
+    c = cfg.channels
+    carry = cfg.n_fft - cfg.hop
+
+    def gt_state(d):
+        return {
+            "cache": jnp.zeros((batch, 2 * d, cfg.width, c), jnp.float32),
+            "tra": jnp.zeros((batch, c), jnp.float32),
+        }
+
+    return {
+        "audio_tail": jnp.zeros((batch, carry), jnp.float32),
+        "net": {
+            "enc_gt": [gt_state(d) for d in _ENC_DIL],
+            "dec_gt": [gt_state(d) for d in reversed(_ENC_DIL)],
+            "dp1": jnp.zeros((2, batch * cfg.width, c // 2), jnp.float32),
+            "dp2": jnp.zeros((2, batch * cfg.width, c // 2), jnp.float32),
+        },
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def gtcrn_stream_step(params, state, chunk, cfg: GtcrnConfig = GtcrnConfig()):
+    """One streaming step: int16 chunk (B, k·hop) → (state, int16 out (B, k·hop)).
+
+    Semantics: the stream processes the input as if (n_fft − hop) zeros were
+    prepended, with snip-edges (center=False) framing — output sample i equals
+    the offline ``center=False`` path on that zero-prepended signal for
+    i ≥ hop (to within f32 reassociation).  Output is delayed by
+    (n_fft − hop) samples relative to the live input.  No DC removal is
+    applied (the offline path removes the clip-global mean, which a live
+    stream cannot know).
+    """
+    import numpy as np
+
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    x = pcm_in(chunk)
+    buf = jnp.concatenate([state["audio_tail"], x], axis=-1)
+
+    frame_cfg = dataclasses.replace(cfg.stft, center=False)
+    spec = stft_packed(buf, frame_cfg)  # (B, k, 2F)
+    fb = frame_cfg.n_fft // 2 + 1
+    re, im = spec[..., :fb], spec[..., fb:]
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    feat = jnp.stack([mag, re, im], axis=-1)
+    mask, net_state = gtcrn_backbone(params, feat, cfg, state=state["net"])
+    m0, m1 = mask[..., 0], mask[..., 1]
+    enhanced = jnp.concatenate([re * m0 - im * m1, im * m0 + re * m1], axis=-1)
+
+    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", enhanced, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)  # (B, k·hop + n_fft − hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "audio_tail": buf[:, -carry:],
+        "net": net_state,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
 
 
 # ─────────────────────────────────────────────────────────────────────────────

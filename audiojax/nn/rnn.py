@@ -96,15 +96,23 @@ def _group_merge(y):
     return jnp.moveaxis(y, 0, 2).reshape(b, t, g * h)
 
 
-def grouped_gru(p, x, *, groups: int):
+def grouped_gru(p, x, *, groups: int, h0=None, return_state: bool = False):
     """Independent per-group GRUs via vmap; params stacked on a leading G axis.
 
     Matches the reference GRNN (two independent half-width GRUs whose outputs
     concatenate, /root/reference/GTCRN/Export_GTCRN.py:409-428) but
-    generalised to G groups and executed as one batched scan.
+    generalised to G groups and executed as one batched scan.  ``h0``
+    (G, B, H) threads streaming state through the groups.
     """
-    y = jax.vmap(gru)(p, _group_split(x, groups))
-    return _group_merge(y)
+    xs = _group_split(x, groups)
+    if h0 is None:
+        y = jax.vmap(gru)(p, xs)
+        if not return_state:
+            return _group_merge(y)
+        return _group_merge(y), y[..., -1, :]
+    y, h_last = jax.vmap(lambda pp, v, h: gru(pp, v, h, return_state=True))(p, xs, h0)
+    out = _group_merge(y)
+    return (out, h_last) if return_state else out
 
 
 def grouped_gru_bidir(p_fwd, p_bwd, x, *, groups: int):

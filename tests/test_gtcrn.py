@@ -74,3 +74,70 @@ def test_resample_sandwich(params):
     audio = jnp.asarray(_noisy_int16(24000)[None])
     out = gtcrn_forward(params, audio, cfg)
     assert out.shape == (1, 24000)
+
+
+# ── streaming (state-carry serving; SURVEY.md §5 north star) ──
+
+
+def test_gtcrn_streaming_bit_exact_vs_zero_padded_offline():
+    """Streaming must equal the offline center=False path on the
+    zero-prepended signal from the first full-overlap sample onward: every
+    temporal dependency (conv caches, TRA GRUs, dual-path inter GRUs, OLA
+    tail) is carried exactly."""
+    from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
+
+    cfg = GtcrnConfig(center=False)
+    params = init_gtcrn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    total = 16 * cfg.hop
+    audio = rng.standard_normal(total) * 6000
+    audio = np.round(audio - audio.mean()).astype(np.int16)
+    audio[0] -= np.int16(audio.sum())  # exact zero mean → remove_dc is identity
+
+    carry = cfg.n_fft - cfg.hop
+    padded = np.concatenate([np.zeros(carry, np.int16), audio])
+    offline = np.asarray(gtcrn_forward(params, jnp.asarray(padded[None]), cfg))[0]
+
+    state = gtcrn_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = gtcrn_stream_step(params, state, jnp.asarray(audio[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    np.testing.assert_allclose(
+        streamed[cfg.hop : total].astype(np.int32),
+        offline[cfg.hop : total].astype(np.int32),
+        atol=1,
+    )
+
+
+def test_gtcrn_streaming_tracks_default_offline_interior():
+    """Against the default (center=True, DC-removed) offline path the stream
+    is delayed by n_fft − hop and converges as the GRU transients decay."""
+    from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
+
+    cfg = GtcrnConfig()
+    params = init_gtcrn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    total = 32 * cfg.hop
+    audio = rng.standard_normal(total) * 6000
+    audio = np.round(audio - audio.mean()).astype(np.int16)
+    audio[0] -= np.int16(audio.sum())
+
+    offline = np.asarray(gtcrn_forward(params, jnp.asarray(audio[None]), cfg))[0]
+
+    state = gtcrn_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = gtcrn_stream_step(params, state, jnp.asarray(audio[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = cfg.n_fft - cfg.hop
+    lo, hi = 8 * cfg.n_fft, total - cfg.n_fft - delay
+    a = offline[lo:hi].astype(np.float64)
+    b = streamed[lo + delay : hi + delay].astype(np.float64)
+    err = a - b
+    snr = 10 * np.log10(np.sum(a * a) / max(np.sum(err * err), 1e-9))
+    assert snr > 35, f"interior SNR {snr:.1f} dB too low"
