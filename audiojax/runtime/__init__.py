@@ -3,6 +3,7 @@ from .checkpoint import load_artifact, save_artifact
 from .manifest import Manifest, validate_manifest_dict
 from .optimize import PLANS, Plan, apply_plan, optimize_artifact, plan_for, wrap_forward
 from .session import Session, SessionResult
+from .streaming import StreamingSession
 
 __all__ = [
     "Manifest",
@@ -10,6 +11,7 @@ __all__ = [
     "Plan",
     "Session",
     "SessionResult",
+    "StreamingSession",
     "apply_plan",
     "load_artifact",
     "optimize_artifact",

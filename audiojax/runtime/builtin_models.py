@@ -63,6 +63,16 @@ def _register_mossformergan():
     )
 
 
+def _gtcrn_stream(cfg):
+    from functools import partial
+
+    from ..models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
+
+    return (partial(gtcrn_stream_init, cfg),
+            partial(gtcrn_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_gtcrn():
     from ..models.gtcrn import GtcrnConfig, init_gtcrn, make_gtcrn
 
@@ -74,6 +84,7 @@ def _register_gtcrn():
             init_params=init_gtcrn,
             make_forward=make_gtcrn,
             make_manifest=_gtcrn_manifest,
+            make_stream=_gtcrn_stream,
         )
     )
 
@@ -106,6 +117,16 @@ def _dfsmn_manifest(cfg):
     )
 
 
+def _dfsmn_stream(cfg):
+    from functools import partial
+
+    from ..models.dfsmn import dfsmn_stream_init, dfsmn_stream_step
+
+    return (partial(dfsmn_stream_init, cfg),
+            partial(dfsmn_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_dfsmn():
     from ..models.dfsmn import DfsmnConfig, init_dfsmn, make_dfsmn
 
@@ -117,6 +138,7 @@ def _register_dfsmn():
             init_params=init_dfsmn,
             make_forward=make_dfsmn,
             make_manifest=_dfsmn_manifest,
+            make_stream=_dfsmn_stream,
         )
     )
 

@@ -25,6 +25,9 @@ def main(argv=None):
     ap.add_argument("--artifact", help="artifact dir with params.msgpack + manifest.json")
     ap.add_argument("--seed", type=int, default=0, help="random-params seed when no artifact")
     ap.add_argument("--example", action="store_true", help="use the reference Test_Examples input")
+    ap.add_argument("--stream", action="store_true",
+                    help="serve with state-carry streaming (low latency) instead of windowing")
+    ap.add_argument("--block-hops", type=int, default=4, help="streaming block size in hops")
     ap.add_argument("--list", action="store_true", help="list registered models")
     args = ap.parse_args(argv)
 
@@ -72,6 +75,34 @@ def main(argv=None):
             data = to_mono(data)[None]
         data = resample_np(data, rate, manifest.in_sample_rate)
         audios.append(data)
+
+    if args.stream:
+        import time
+
+        from .streaming import StreamingSession
+
+        if spec.make_stream is None:
+            print(f"{spec.name} does not support --stream (no state-carry streaming); "
+                  f"streaming models: "
+                  f"{[n for n in registry.names() if registry.get(n).make_stream]}",
+                  file=sys.stderr)
+            return 2
+        ss = StreamingSession(spec, params, cfg, block_hops=args.block_hops)
+        mono = to_mono(audios[0]) if audios[0].ndim > 1 else audios[0]
+        t0 = time.perf_counter()
+        pieces = [ss.push(mono)]
+        pieces.append(ss.flush())
+        elapsed = time.perf_counter() - t0
+        out = np.concatenate(pieces)
+        out_path = Path(args.output) if args.output else inputs[0].with_name(
+            inputs[0].stem + f".{spec.name}.stream.wav")
+        written = write_wav(out_path, out, manifest.out_sample_rate)
+        print(f"wrote {written}")
+        dur = out.shape[-1] / manifest.out_sample_rate
+        print(f"streaming RTF: {elapsed / dur:.4f}  "
+              f"(algorithmic latency {ss.latency_samples} samples = "
+              f"{1000 * ss.latency_samples / manifest.model_sample_rate:.0f} ms)")
+        return 0
 
     from .optimize import wrap_forward
 

@@ -41,6 +41,10 @@ class ModelSpec:
     init_params: Callable[..., object]  # (key, cfg) -> params
     make_forward: Callable[[object], Callable]  # cfg -> fn(params, *audios)
     make_manifest: Callable[[object], Manifest]  # cfg -> Manifest
+    # optional low-latency serving: cfg -> (init_fn(batch), step_fn(params,
+    # state, chunk), delay_samples).  Present for models with state-carry
+    # streaming (the SURVEY.md §5 north star).
+    make_stream: Callable[[object], tuple] | None = None
 
 
 _REGISTRY: dict[str, ModelSpec] = {}

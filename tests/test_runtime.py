@@ -230,3 +230,71 @@ def test_checkpoint_roundtrip_restores_lists(tmp_path):
     loaded, _ = load_artifact(tmp_path / "a")
     assert jax.tree.structure(loaded) == jax.tree.structure(params)
     np.testing.assert_array_equal(np.asarray(loaded["layers"][1]["w"]), 0)
+
+
+# ── streaming serving (StreamingSession; SURVEY.md §5 north star) ──
+
+
+def test_streaming_session_arbitrary_chunks_match_oneshot():
+    """Irregular mic-style pushes must produce exactly the same stream as one
+    big push, total output length == total input length."""
+    from audiojax.runtime import StreamingSession
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    total = 20 * cfg.hop
+    audio = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    s1 = StreamingSession(spec, params, cfg, jit=False)
+    parts, pos = [], 0
+    for size in (300, 777, 1024, 5, 2048, 931):
+        parts.append(s1.push(audio[pos : pos + size]))
+        pos += size
+    parts.append(s1.push(audio[pos:]))
+    parts.append(s1.flush())
+    chunked = np.concatenate(parts)
+
+    s2 = StreamingSession(spec, params, cfg, jit=False)
+    oneshot = np.concatenate([s2.push(audio), s2.flush()])
+
+    assert chunked.shape == (total,)
+    np.testing.assert_array_equal(chunked, oneshot)
+
+
+def test_streaming_session_aligns_with_raw_stream():
+    """Session output is the raw model stream with the warm-up delay dropped."""
+    from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
+    from audiojax.runtime import StreamingSession
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    total = 16 * cfg.hop
+    audio = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    sess = StreamingSession(spec, params, cfg, block_hops=4, jit=False)
+    out = np.concatenate([sess.push(audio), sess.flush()])
+
+    state = gtcrn_stream_init(cfg)
+    raws = []
+    padded = np.concatenate([audio, np.zeros(cfg.n_fft - cfg.hop + 4 * cfg.hop, np.int16)])
+    n_blocks = -(-(total + cfg.n_fft - cfg.hop) // (4 * cfg.hop))
+    for i in range(n_blocks):
+        block = padded[i * 4 * cfg.hop : (i + 1) * 4 * cfg.hop]
+        state, o = gtcrn_stream_step(params, state, jax.numpy.asarray(block[None]), cfg)
+        raws.append(np.asarray(o)[0])
+    raw = np.concatenate(raws)
+    delay = cfg.n_fft - cfg.hop
+    np.testing.assert_array_equal(out, raw[delay : delay + total])
+
+
+def test_streaming_session_unsupported_model():
+    from audiojax.runtime import StreamingSession
+
+    spec = registry.get("zipenhancer")
+    with pytest.raises(ValueError, match="does not support streaming"):
+        StreamingSession(spec, {}, None)
