@@ -5,13 +5,25 @@ initializers after the export wrapper's prefusions, SURVEY.md §5).  Here the
 equivalent is: ``import_checkpoint(model, ckpt)`` applies the same fusion
 recipes (float64) and returns a pytree for ``audiojax.runtime.save_artifact``.
 
+Fail-closed like the reference's graph surgery (SURVEY.md §2.2): every
+checkpoint tensor must be consumed by the recipe — an unread key means the
+upstream layout drifted, and the import aborts with the leftover keys instead
+of silently dropping weights.  A JSON audit report (the rewrite scripts'
+report analog, /root/reference/GTCRN/Rewrite_ONNX_GRU_Zero_State.py:307-326)
+can be written via ``report_path``.
+
 Importers exist for the models whose upstream checkpoints map 1:1 onto our
 parameter trees; the remaining families share the same toolbox
 (importers.common) and land as their checkpoints are exercised.
 """
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from . import common
+from .common import KeyTracker, unwrap_state_dict
 from .dfsmn import import_dfsmn
 from .gtcrn import import_gtcrn
 from .melband import import_melband
@@ -24,13 +36,42 @@ _IMPORTERS = {
     "melband_roformer": import_melband,
 }
 
+# torch bookkeeping buffers that carry no weights — ignored, not drift
+_IGNORED = re.compile(r"(num_batches_tracked|running_mean|running_var)$|^_metadata")
 
-def import_checkpoint(model_name: str, ckpt):
+
+def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path=None, **kw):
     if model_name not in _IMPORTERS:
         raise KeyError(
             f"no importer registered for {model_name!r}; available: {sorted(_IMPORTERS)}"
         )
-    return _IMPORTERS[model_name](ckpt)
+    tracker = KeyTracker(unwrap_state_dict(ckpt))
+    params = _IMPORTERS[model_name](tracker, **kw)
+
+    leftover = [k for k in tracker.unconsumed if not _IGNORED.search(k)]
+    ignored = [k for k in tracker.unconsumed if _IGNORED.search(k)]
+    # BN running stats ARE consumed by fusion recipes; only unread ones land
+    # in `ignored`.
+    report = {
+        "model": model_name,
+        "checkpoint_keys": len(tracker),
+        "consumed": len(tracker.consumed),
+        "ignored_buffers": ignored,
+        "unconsumed": leftover,
+    }
+    if report_path is not None:
+        p = Path(report_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(report, indent=2))
+    if strict and leftover:
+        head = leftover[:20]
+        raise ValueError(
+            f"import drift for {model_name!r}: {len(leftover)} checkpoint keys were "
+            f"not consumed by the recipe (first {len(head)}): {head}. "
+            "Pass strict=False to import anyway."
+        )
+    return params
 
 
-__all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn", "import_nkf"]
+__all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
+           "import_nkf", "import_melband"]

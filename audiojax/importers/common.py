@@ -23,6 +23,7 @@ import numpy as np
 from ..nn.core import deconv_kernel
 
 __all__ = [
+    "KeyTracker",
     "unwrap_state_dict",
     "to_np",
     "linear",
@@ -44,6 +45,35 @@ def to_np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
     return np.asarray(t, dtype=np.float64)
+
+
+class KeyTracker(dict):
+    """State dict that records which keys an importer consumed.
+
+    The reference's graph rewrites are fail-closed: they validate the COMPLETE
+    expected topology and abort on any drift
+    (/root/reference/GTCRN/Rewrite_ONNX_GRU_Zero_State.py:16-24,220-305).  The
+    importer-side analog: after an import, any unread checkpoint tensor means
+    the upstream layout drifted from the recipe — surfaced by
+    :func:`audiojax.importers.import_checkpoint` instead of silently dropped.
+    """
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if key in self:
+            return self[key]
+        return default
+
+    @property
+    def unconsumed(self) -> list:
+        return sorted(set(self) - self.consumed)
 
 
 def unwrap_state_dict(ckpt, prefixes=("module.", "model.", "network.", "net.")):

@@ -100,19 +100,24 @@ def gt_conv_block(p, x, *, dilation: int, deconv: bool, state=None):
     pad_t = 2 * dilation  # (kernel_t - 1) * dilation with kernel_t = 3
 
     h = core.prelu(p["pc1"], core.conv2d(p["pc1"], sfe(x1)))
-    if state is None:
-        hist = jnp.zeros((h.shape[0], pad_t) + h.shape[2:], h.dtype)
+    new_cache = None
+    if state is None and deconv:
+        # offline deconv: implicit zero history; trim the future tail
+        h = core.conv2d_transpose(p["depth"], h, padding=(0, 1), dilation=(dilation, 1),
+                                  groups=h.shape[-1])
+        h = h[:, :-pad_t]
     else:
-        hist = state["cache"]
-    hx = jnp.concatenate([hist, h], axis=1)  # (B, pad_t + T, F, C)
-    new_cache = hx[:, -pad_t:]
-    if deconv:
-        y = core.conv2d_transpose(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
-                                  groups=hx.shape[-1])
-        h = y[:, pad_t:-pad_t]  # drop history-only head + future tail
-    else:
-        h = core.conv2d(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
-                        groups=hx.shape[-1])
+        hist = (jnp.zeros((h.shape[0], pad_t) + h.shape[2:], h.dtype)
+                if state is None else state["cache"])
+        hx = jnp.concatenate([hist, h], axis=1)  # (B, pad_t + T, F, C)
+        new_cache = hx[:, -pad_t:]
+        if deconv:
+            y = core.conv2d_transpose(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
+                                      groups=hx.shape[-1])
+            h = y[:, pad_t:-pad_t]  # drop history-only head + future tail
+        else:
+            h = core.conv2d(p["depth"], hx, padding=(0, 1), dilation=(dilation, 1),
+                            groups=hx.shape[-1])
     h = core.prelu(p["depth_a"], h)
     h = core.conv2d(p["pc2"], h)
     h, tra_h = tra(p["tra"], h, None if state is None else state["tra"], return_state=True)

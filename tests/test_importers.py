@@ -89,11 +89,12 @@ def _gtcrn_state_dict():
     """Build a state dict with the upstream GTCRN naming and shapes."""
     sd = {}
 
-    def conv_block(key, cin, cout, k, groups=1, deconv=False):
+    def conv_block(key, cin, cout, k, groups=1, deconv=False, last=False):
         m = (nn.ConvTranspose2d if deconv else nn.Conv2d)(cin, cout, k, groups=groups)
         sd.update({f"{key}.conv.{n}": v for n, v in m.state_dict().items()})
         sd.update({f"{key}.bn.{n}": v for n, v in _bn_with_stats(cout).state_dict().items()})
-        sd[f"{key}.act.weight"] = torch.full((1,), 0.25)
+        if not last:  # the final decoder block is tanh — no PReLU weight
+            sd[f"{key}.act.weight"] = torch.full((1,), 0.25)
 
     def gt_block(key, deconv=False):
         mod = nn.ConvTranspose2d if deconv else nn.Conv2d
@@ -133,7 +134,7 @@ def _gtcrn_state_dict():
     for i in (0, 1, 2):
         gt_block(f"decoder.de_convs.{i}", deconv=True)
     conv_block("decoder.de_convs.3", 16, 16, (1, 5), groups=2, deconv=True)
-    conv_block("decoder.de_convs.4", 16, 2, (1, 5), deconv=True)
+    conv_block("decoder.de_convs.4", 16, 2, (1, 5), deconv=True, last=True)
     return sd
 
 
@@ -248,3 +249,50 @@ def test_import_nkf_kgnet_matches_torch_replica():
     zeros = tuple(jnp.zeros((n, rnn)) for _ in range(4))
     kg, _ = kg_net(params, jnp.asarray(x.numpy()), zeros)
     np.testing.assert_allclose(np.asarray(kg), ref, atol=2e-5)
+
+
+def test_import_checkpoint_fail_closed_on_drift(tmp_path):
+    """An unconsumed checkpoint key (layout drift) must abort the import and
+    land in the JSON audit report (the reference rewrites' fail-closed +
+    report contract, Rewrite_ONNX_GRU_Zero_State.py:16-24,307-326)."""
+    import json
+
+    from audiojax.models.nkf_aec import NkfConfig
+
+    torch.manual_seed(0)
+    cfg = NkfConfig()
+    d_in, fc, rnn_d, L = 2 * cfg.filter_order + 1, cfg.fc_dim, cfg.rnn_dim, cfg.filter_order
+    sd = {}
+    for key, (o, i) in {
+        "kg_net.fc_in.0.linear_real": (fc, d_in), "kg_net.fc_in.0.linear_imag": (fc, d_in),
+        "kg_net.fc_out.0.linear_real": (fc, rnn_d), "kg_net.fc_out.0.linear_imag": (fc, rnn_d),
+        "kg_net.fc_out.2.linear_real": (L, fc), "kg_net.fc_out.2.linear_imag": (L, fc),
+    }.items():
+        sd[f"{key}.weight"] = torch.randn(o, i)
+        sd[f"{key}.bias"] = torch.randn(o)
+    sd["kg_net.fc_in.1.prelu.weight"] = torch.randn(1)
+    sd["kg_net.fc_out.1.prelu.weight"] = torch.randn(1)
+    for g in ("gru_r", "gru_i"):
+        sd[f"kg_net.complex_gru.{g}.weight_ih_l0"] = torch.randn(3 * rnn_d, fc)
+        sd[f"kg_net.complex_gru.{g}.weight_hh_l0"] = torch.randn(3 * rnn_d, rnn_d)
+        sd[f"kg_net.complex_gru.{g}.bias_ih_l0"] = torch.randn(3 * rnn_d)
+        sd[f"kg_net.complex_gru.{g}.bias_hh_l0"] = torch.randn(3 * rnn_d)
+
+    # clean import consumes everything
+    import_checkpoint("nkf_aec", sd, report_path=tmp_path / "r.json")
+    rep = json.loads((tmp_path / "r.json").read_text())
+    assert rep["unconsumed"] == [] and rep["consumed"] == len(sd)
+
+    # drift: an extra tensor the recipe doesn't know aborts (strict default)
+    sd["kg_net.mystery.weight"] = torch.randn(3, 3)
+    with pytest.raises(ValueError, match="mystery"):
+        import_checkpoint("nkf_aec", sd)
+    # …unless explicitly tolerated, and the report still names it
+    import_checkpoint("nkf_aec", sd, strict=False, report_path=tmp_path / "r2.json")
+    rep2 = json.loads((tmp_path / "r2.json").read_text())
+    assert rep2["unconsumed"] == ["kg_net.mystery.weight"]
+
+    # bookkeeping buffers are ignored, not drift
+    del sd["kg_net.mystery.weight"]
+    sd["some.bn.num_batches_tracked"] = torch.tensor(7)
+    import_checkpoint("nkf_aec", sd)
