@@ -51,6 +51,11 @@ def main():
     elapsed = _bench_model(zfn, zparams, clip(total), iters=20)
     results["zipenhancer"] = elapsed / (total / 16000.0)
 
+    zcfg_bf16 = ZipEnhancerConfig(fold_window=24000, compute_dtype=jnp.bfloat16)
+    zfn_bf16 = jax.jit(make_zipenhancer(zcfg_bf16))
+    elapsed_bf16 = _bench_model(zfn_bf16, zparams, clip(total), iters=20)
+    results["zipenhancer_bf16"] = elapsed_bf16 / (total / 16000.0)
+
     gcfg = GtcrnConfig(fold_window=24064)
     total_g = (seconds * 16000 // gcfg.fold_window) * gcfg.fold_window
     gfn = jax.jit(make_gtcrn(gcfg))
@@ -65,6 +70,9 @@ def main():
                 "value": round(results["zipenhancer"], 6),
                 "unit": "RTF",
                 "vs_baseline": round(BASELINES["zipenhancer"] / results["zipenhancer"], 2),
+                "zipenhancer_bf16_rtf": round(results["zipenhancer_bf16"], 6),
+                "zipenhancer_bf16_vs_baseline": round(
+                    BASELINES["zipenhancer"] / results["zipenhancer_bf16"], 2),
                 "gtcrn_rtf": round(results["gtcrn"], 6),
                 "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
                 "chip": str(jax.devices()[0]),
