@@ -28,12 +28,14 @@ from .dfsmn import import_dfsmn
 from .gtcrn import import_gtcrn
 from .melband import import_melband
 from .nkf import import_nkf
+from .sdaec import import_sdaec
 
 _IMPORTERS = {
     "gtcrn": import_gtcrn,
     "dfsmn": import_dfsmn,
     "nkf_aec": import_nkf,
     "melband_roformer": import_melband,
+    "sdaec": import_sdaec,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -74,4 +76,4 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
 
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
-           "import_nkf", "import_melband"]
+           "import_nkf", "import_melband", "import_sdaec"]

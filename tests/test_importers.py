@@ -296,3 +296,125 @@ def test_import_checkpoint_fail_closed_on_drift(tmp_path):
     del sd["kg_net.mystery.weight"]
     sd["some.bn.num_batches_tracked"] = torch.tensor(7)
     import_checkpoint("nkf_aec", sd)
+
+
+# ── SDAEC (ICCRN + AlphaPredictor, Export_SDAEC.py layout) ───────────────────
+
+
+def _sdaec_state_dict(c=20, k=10):
+    """Synthetic union of the upstream ICCRN.ckpt + alpha.ckpt key spaces."""
+    torch.manual_seed(6)
+    sd = {}
+
+    def conv2d(key, cin, cout, ksz):
+        m = nn.Conv2d(cin, cout, ksz)
+        sd.update({f"{key}.{n}": v for n, v in m.state_dict().items()})
+
+    def iccrn_ln(key, ch, f):
+        sd[f"{key}.w"] = torch.rand(1, ch, f, 1) + 0.5
+        sd[f"{key}.b"] = torch.rand(1, ch, f, 1) * 1e-2
+
+    def ch_lstm(key, cin, feat, out, bi, layers=1):
+        m = nn.LSTM(cin, feat, num_layers=layers, bidirectional=bi)
+        sd.update({f"{key}.lstm2.{n}": v for n, v in m.state_dict().items()})
+        lin = nn.Linear((2 if bi else 1) * feat, out)
+        sd.update({f"{key}.linear.{n}": v for n, v in lin.state_dict().items()})
+
+    def cfb(key, cin):
+        conv2d(f"{key}.conv_gate", cin, c, (1, 1))
+        conv2d(f"{key}.conv_input", cin, c, (1, 1))
+        conv2d(f"{key}.conv", c, c, (3, 1))
+        iccrn_ln(f"{key}.LN0", cin, 160)
+        iccrn_ln(f"{key}.LN1", c, 160)
+        iccrn_ln(f"{key}.LN2", c, 160)
+        iccrn_ln(f"{key}.ceps_unit.LN", 2 * c, 81)
+        ch_lstm(f"{key}.ceps_unit.ch_lstm_f", 2 * c, c, 2 * c, bi=True)
+
+    ch_lstm("in_ch_lstm", 4, c, c, bi=True)
+    conv2d("in_conv", 4 + c, c, (1, 1))
+    for i in range(1, 6):
+        cfb(f"cfb_e{i}", c)
+    iccrn_ln("ln", c, 160)
+    ch_lstm("ch_lstm", c, 2 * c, c, bi=False, layers=2)
+    cfb("cfb_d5", c)
+    for i in (4, 3, 2, 1):
+        cfb(f"cfb_d{i}", 2 * c)
+    ch_lstm("out_ch_lstm", 2 * c, c, 2 * c, bi=False)
+    conv2d("out_conv", 3 * c, 2, (1, 1))
+    sd["linear1.weight"] = torch.randn(1, 2)
+    sd["linear1.bias"] = torch.randn(1)
+    sd["linear2.weight"] = torch.randn(1, k)
+    sd["linear2.bias"] = torch.randn(1)
+    return sd
+
+
+def test_import_sdaec_structure_and_forward():
+    import jax
+
+    from audiojax.models.sdaec import SdaecConfig, init_sdaec, sdaec_forward
+
+    params = import_checkpoint("sdaec", _sdaec_state_dict())
+    cfg = SdaecConfig()
+    ref = init_sdaec(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        assert tuple(r.shape) == tuple(np.asarray(g).shape)
+
+    rng = np.random.default_rng(0)
+    near = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    far = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    out = sdaec_forward(jax.tree.map(jnp.asarray, params), near, far, cfg)
+    assert out.shape == (1, 4800)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_sdaec_alpha_fusion_matches_torch():
+    """Fused causal conv == |linear2(linear1(power pairs over k frames))|."""
+    from audiojax.models.sdaec import alpha_align
+
+    sd = _sdaec_state_dict()
+    params = import_checkpoint("sdaec", sd, strict=False)
+    k = 10
+    rng = np.random.default_rng(2)
+    mix = rng.standard_normal(30).astype(np.float32) ** 2
+    far = rng.standard_normal(30).astype(np.float32) ** 2
+
+    w1 = sd["linear1.weight"].numpy()[0]
+    b1 = sd["linear1.bias"].numpy()[0]
+    w2 = sd["linear2.weight"].numpy()[0]
+    b2 = sd["linear2.bias"].numpy()[0]
+    padded = np.stack([np.concatenate([np.zeros(k - 1, np.float32), far]),
+                       np.concatenate([np.zeros(k - 1, np.float32), mix])])
+    ref = np.empty(30)
+    for t in range(30):
+        # upstream semantics: linear1 maps (far, mix) → scalar per frame,
+        # linear2 maps the k-frame window → alpha
+        per_frame = w1[0] * padded[0, t : t + k] + w1[1] * padded[1, t : t + k] + b1
+        ref[t] = abs(float(w2 @ per_frame + b2))
+
+    ours = np.asarray(alpha_align(params["alpha"], jnp.asarray(mix[None]), jnp.asarray(far[None]), k))[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_import_sdaec_layer_norm_matches_reference_export():
+    """iccrn_layer_norm with the RAW imported weights == the reference's
+    fused F.layer_norm export pipeline (Export_SDAEC.py:128-170)."""
+    from audiojax.nn.cfb import iccrn_layer_norm
+
+    c, f = 6, 16
+    torch.manual_seed(7)
+    w = torch.rand(1, c, f, 1) + 0.5
+    b = torch.rand(1, c, f, 1) * 1e-2
+    x = torch.randn(2, 3, f, c)  # our layout (B, T, F, C)
+
+    reduced = c * f
+    # reference export math: fuse weight_scale then divide by sqrt(cf)
+    export_w = (w.squeeze(0).squeeze(-1).T * (reduced - 1) ** 0.5 / reduced**0.5)
+    export_b = b.squeeze(0).squeeze(-1).T
+    export_eps = 1e-6 * (reduced - 1) / reduced
+    with torch.no_grad():
+        ref = torch.nn.functional.layer_norm(x, (f, c), export_w, export_b, export_eps).numpy()
+
+    p = {"w": jnp.asarray(w.numpy()[0, :, :, 0].T), "b": jnp.asarray(b.numpy()[0, :, :, 0].T)}
+    ours = np.asarray(iccrn_layer_norm(p, jnp.asarray(x.numpy()), 1e-6))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
