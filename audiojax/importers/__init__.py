@@ -26,6 +26,7 @@ from . import common
 from .common import KeyTracker, unwrap_state_dict
 from .dfsmn import import_dfsmn
 from .gtcrn import import_gtcrn
+from .deep_echo import import_deep_echo
 from .melband import import_melband
 from .nkf import import_nkf
 from .sdaec import import_sdaec
@@ -36,6 +37,7 @@ _IMPORTERS = {
     "nkf_aec": import_nkf,
     "melband_roformer": import_melband,
     "sdaec": import_sdaec,
+    "deep_echo": import_deep_echo,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -76,4 +78,4 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
 
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
-           "import_nkf", "import_melband", "import_sdaec"]
+           "import_nkf", "import_melband", "import_sdaec", "import_deep_echo"]

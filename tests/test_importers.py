@@ -418,3 +418,60 @@ def test_import_sdaec_layer_norm_matches_reference_export():
     p = {"w": jnp.asarray(w.numpy()[0, :, :, 0].T), "b": jnp.asarray(b.numpy()[0, :, :, 0].T)}
     ours = np.asarray(iccrn_layer_norm(p, jnp.asarray(x.numpy()), 1e-6))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_import_deep_echo_structure_and_forward():
+    import jax
+
+    from audiojax.models.deep_echo import DeepEchoConfig, deep_echo_forward, init_deep_echo
+
+    torch.manual_seed(8)
+    c = 20
+    sd = {}
+
+    def conv2d(key, cin, cout, ksz):
+        m = nn.Conv2d(cin, cout, ksz)
+        sd.update({f"{key}.{n}": v for n, v in m.state_dict().items()})
+
+    def iccrn_ln(key, ch, f):
+        sd[f"{key}.w"] = torch.rand(1, ch, f, 1) + 0.5
+        sd[f"{key}.b"] = torch.rand(1, ch, f, 1) * 1e-2
+
+    def ch_lstm(key, cin, feat, out, bi, layers=1):
+        m = nn.LSTM(cin, feat, num_layers=layers, bidirectional=bi)
+        sd.update({f"{key}.lstm2.{n}": v for n, v in m.state_dict().items()})
+        lin = nn.Linear((2 if bi else 1) * feat, out)
+        sd.update({f"{key}.linear.{n}": v for n, v in lin.state_dict().items()})
+
+    def cfb(key, cin):
+        conv2d(f"{key}.conv_gate", cin, c, (1, 1))
+        conv2d(f"{key}.conv_input", cin, c, (1, 1))
+        conv2d(f"{key}.conv", c, c, (3, 1))
+        iccrn_ln(f"{key}.LN0", cin, 160)
+        iccrn_ln(f"{key}.LN1", c, 160)
+        iccrn_ln(f"{key}.LN2", c, 160)
+        iccrn_ln(f"{key}.ceps_unit.LN", 2 * c, 81)
+        ch_lstm(f"{key}.ceps_unit.ch_lstm_f", 2 * c, c, 2 * c, bi=True)
+
+    ch_lstm("in_ch_lstm", 4, c, c, bi=True)
+    conv2d("in_conv", 4 + c, c, (1, 1))
+    cfb("cfb_e1", c)
+    iccrn_ln("ln", c, 160)
+    ch_lstm("ch_lstm", c, 2 * c, c, bi=False, layers=2)
+    cfb("cfb_d1", c)
+    ch_lstm("out_ch_lstm", 2 * c, c, 2 * c, bi=False)
+    conv2d("out_conv", 3 * c, 20, (1, 1))  # 2 * echo_order(10)
+
+    params = import_checkpoint("deep_echo", sd)
+    cfg = DeepEchoConfig()
+    ref = init_deep_echo(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        assert tuple(r.shape) == tuple(np.asarray(g).shape)
+
+    rng = np.random.default_rng(1)
+    near = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    far = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    out = deep_echo_forward(jax.tree.map(jnp.asarray, params), near, far, cfg)
+    assert out.shape == (1, 4800)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
