@@ -38,6 +38,12 @@ _IMPORTERS = {
     "melband_roformer": import_melband,
     "sdaec": import_sdaec,
     "deep_echo": import_deep_echo,
+    # H-GTCRN's GTCRN-IVA network shares the upstream GTCRN module layout
+    # (encoder.en_convs/dpgrnn1/dpgrnn2/decoder.de_convs,
+    # /root/reference/H-GTCRN/Export_H_GTCRN.py:383-447); the first encoder
+    # conv simply has 18 input channels (6 spatial features × SFE), which the
+    # shape-agnostic BN fusions handle unchanged.
+    "h_gtcrn": import_gtcrn,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift

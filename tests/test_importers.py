@@ -475,3 +475,32 @@ def test_import_deep_echo_structure_and_forward():
     out = deep_echo_forward(jax.tree.map(jnp.asarray, params), near, far, cfg)
     assert out.shape == (1, 4800)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_h_gtcrn_runs_forward():
+    """H-GTCRN shares the GTCRN checkpoint layout; the 6-channel spatial
+    front-end only widens the first encoder conv (18 SFE channels)."""
+    import jax
+
+    torch.manual_seed(9)
+    sd = _gtcrn_state_dict()
+    # widen enc0 to the H-GTCRN 18-channel input
+    m = nn.Conv2d(18, 16, (1, 5))
+    sd.update({f"encoder.en_convs.0.conv.{n}": v for n, v in m.state_dict().items()})
+
+    params = import_checkpoint("h_gtcrn", sd)
+    from audiojax.models.h_gtcrn import HGtcrnConfig, h_gtcrn_forward, init_h_gtcrn
+
+    cfg = HGtcrnConfig()
+    ref = init_h_gtcrn(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        gs = tuple(np.asarray(g).shape)
+        # scalar PReLU alphas broadcast against our per-channel init
+        assert gs == tuple(r.shape) or gs == (1,)
+
+    rng = np.random.default_rng(2)
+    audio = jnp.asarray((rng.standard_normal((1, 2, 6400)) * 4000).astype(np.int16))
+    out = h_gtcrn_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
+    assert out.shape == (1, 6400)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
