@@ -27,6 +27,7 @@ from .common import KeyTracker, unwrap_state_dict
 from .dfsmn import import_dfsmn
 from .gtcrn import import_gtcrn
 from .deep_echo import import_deep_echo
+from .dfsmn_aec import import_dfsmn_aec
 from .melband import import_melband
 from .nkf import import_nkf
 from .sdaec import import_sdaec
@@ -44,6 +45,7 @@ _IMPORTERS = {
     # conv simply has 18 input channels (6 spatial features × SFE), which the
     # shape-agnostic BN fusions handle unchanged.
     "h_gtcrn": import_gtcrn,
+    "dfsmn_aec": import_dfsmn_aec,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -84,4 +86,5 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
 
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
-           "import_nkf", "import_melband", "import_sdaec", "import_deep_echo"]
+           "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
+           "import_dfsmn_aec"]

@@ -504,3 +504,51 @@ def test_import_h_gtcrn_runs_forward():
     out = h_gtcrn_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
     assert out.shape == (1, 6400)
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_dfsmn_aec_cascade():
+    """Cascade import: SDAEC backend union + ModelScope DFSMN mask net + VAD
+    head + CMVN fold into the first affine (Export_DFSMN_AEC.py:1114-1124)."""
+    import dataclasses
+
+    import jax
+
+    from audiojax.models.dfsmn_aec import DfsmnAecConfig, dfsmn_aec_forward, init_dfsmn_aec
+
+    torch.manual_seed(10)
+    cfg = dataclasses.replace(DfsmnAecConfig(), depth=2, hidden=32, output_vad=True)
+    sd = dict(_sdaec_state_dict())  # backend keys
+    feat_dim, bins = 3 * cfg.n_mels, cfg.mask_bins
+    sd["linear1.linear.weight"] = torch.randn(cfg.hidden, feat_dim) * 0.05
+    sd["linear1.linear.bias"] = torch.randn(cfg.hidden) * 0.05
+    sd["linear2.linear.weight"] = torch.randn(bins, cfg.hidden) * 0.05
+    sd["linear2.linear.bias"] = torch.randn(bins) * 0.05
+    sd["linear3.linear.weight"] = torch.randn(1, cfg.hidden) * 0.05
+    sd["linear3.linear.bias"] = torch.randn(1) * 0.05
+    for i in range(cfg.depth):
+        sd[f"deepfsmn.{i}.linear.weight"] = torch.randn(cfg.hidden, cfg.hidden) * 0.05
+        sd[f"deepfsmn.{i}.linear.bias"] = torch.randn(cfg.hidden) * 0.05
+        sd[f"deepfsmn.{i}.project.weight"] = torch.randn(cfg.hidden, cfg.hidden) * 0.05
+        sd[f"deepfsmn.{i}.conv1.weight"] = torch.randn(cfg.hidden, 1, cfg.lorder, 1) * 0.05
+
+    rng = np.random.default_rng(3)
+    shift = rng.standard_normal(feat_dim).astype(np.float32)
+    scale = (rng.random(feat_dim).astype(np.float32) + 0.5)
+    params = import_checkpoint("dfsmn_aec", sd, cfg=cfg, cmvn=(shift, scale))
+
+    ref = init_dfsmn_aec(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+
+    # CMVN fold golden: lin1(cmvn(x)) == folded_lin1(x)
+    x = rng.standard_normal(feat_dim).astype(np.float32)
+    w = sd["linear1.linear.weight"].numpy()
+    b = sd["linear1.linear.bias"].numpy()
+    want = w @ ((x + shift) * scale) + b
+    got = x @ np.asarray(params["mask_net"]["lin1"]["w"]) + np.asarray(params["mask_net"]["lin1"]["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    near = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    far = jnp.asarray((rng.standard_normal(4800) * 4000).astype(np.int16)[None])
+    out, vad = dfsmn_aec_forward(jax.tree.map(jnp.asarray, params), near, far, cfg)
+    assert out.shape == (1, 4800)
+    assert vad.shape[0] == 1 and bool(jnp.isfinite(vad).all())
