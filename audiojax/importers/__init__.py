@@ -31,6 +31,7 @@ from .dfsmn_aec import import_dfsmn_aec
 from .melband import import_melband
 from .nkf import import_nkf
 from .sdaec import import_sdaec
+from .ul_unas import import_ul_unas
 
 _IMPORTERS = {
     "gtcrn": import_gtcrn,
@@ -46,6 +47,7 @@ _IMPORTERS = {
     # shape-agnostic BN fusions handle unchanged.
     "h_gtcrn": import_gtcrn,
     "dfsmn_aec": import_dfsmn_aec,
+    "ul_unas": import_ul_unas,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -87,4 +89,4 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
            "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
-           "import_dfsmn_aec"]
+           "import_dfsmn_aec", "import_ul_unas"]

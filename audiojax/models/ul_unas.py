@@ -177,7 +177,12 @@ def ul_unas_net(p, spec_ri, cfg: UlUnasConfig):
     # explicit and let XLA fold it.
     feat = jnp.log(jnp.clip(power, 1e-24, None)) * float(0.5 / np.log(10.0))
     feat = feat[..., None]  # (B, T, F, 1)
-    feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft)
+    # UL-UNAS carries its ERB filterbank as (frozen) Linear weights in the
+    # checkpoint (Export_UL_UNAS.py:60-63); imported params thread them here,
+    # random init falls back to the analytic filters.
+    erb_w = p.get("erb")
+    feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft,
+                        weight=None if erb_w is None else erb_w["fc"])
 
     specs = list(zip(_TYPES, _CHANNELS, _WIDTHS, _KERNELS, _STRIDES, _GROUPS))
     skips = []
@@ -195,7 +200,8 @@ def ul_unas_net(p, spec_ri, cfg: UlUnasConfig):
     x = _BLOCK_FNS[specs[0][0]](p[f"dec{n-1}"], x + skips[0], specs[0], cfg, deconv=True, last=True)
     mask = jax.nn.sigmoid(x)  # (B, T, 129, 1)
 
-    mask = erb_expand(mask, cfg.n_low, cfg.n_erb, cfg.n_fft)[..., 0]  # (B, T, F)
+    mask = erb_expand(mask, cfg.n_low, cfg.n_erb, cfg.n_fft,
+                      weight=None if erb_w is None else erb_w["ifc"])[..., 0]
     return spec_ri * jnp.concatenate([mask, mask], axis=-1)
 
 

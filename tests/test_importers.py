@@ -552,3 +552,131 @@ def test_import_dfsmn_aec_cascade():
     out, vad = dfsmn_aec_forward(jax.tree.map(jnp.asarray, params), near, far, cfg)
     assert out.shape == (1, 4800)
     assert vad.shape[0] == 1 and bool(jnp.isfinite(vad).all())
+
+
+# ── UL-UNAS (converted ULUNAS layout, Export_UL_UNAS.py:654-700) ─────────────
+
+
+def _ul_unas_state_dict():
+    torch.manual_seed(11)
+    types = (0, 2, 1, 2, 1)
+    channels = (12, 24, 24, 32, 16)
+    widths = (65, 33, 33, 33, 33)
+    kernels = ((3, 3), (2, 3), (2, 3), (1, 5), (1, 5))
+    strides = (2, 2, 1, 1, 1)
+    groups = (1, 2, 2, 2, 2)
+    sd = {}
+
+    def bn(key, c):
+        sd.update({f"{key}.{n}": v for n, v in _bn_with_stats(c).state_dict().items()})
+
+    def aprelu(key, c, w):
+        sd[f"{key}.affine_weight"] = torch.randn(1, c, 1, w) * 0.1 + 1.0
+        sd[f"{key}.affine_bias"] = torch.randn(1, c, 1, w) * 0.05
+        sd[f"{key}.slope_weight"] = torch.full((1, c, 1, 1), 0.25)
+
+    def ctfa(key, c, w):
+        g = nn.GRU(c, 2 * c, batch_first=False)
+        sd.update({f"{key}.ta_gru.{n}": v for n, v in g.state_dict().items()})
+        sd.update({f"{key}.ta_fc.{n}": v for n, v in nn.Linear(2 * c, c).state_dict().items()})
+        fg = nn.GRU(4, 4, bidirectional=True)
+        sd.update({f"{key}.fa.gru.{n}": v for n, v in fg.state_dict().items()})
+        sd.update({f"{key}.fa.fc.{n}": v for n, v in nn.Linear(8, 4).state_dict().items()})
+
+    def in_width(w, s, deconv):
+        return (w // 2 + 1 if deconv else w * 2 - 1) if s == 2 else w
+
+    def block(key, btype, cin, cout, w, k, s, g, deconv=False, last=False):
+        mod = nn.ConvTranspose2d if deconv else nn.Conv2d
+        if btype == 0:
+            m = mod(cin, cout, k, stride=(1, s), groups=g)
+            sd.update({f"{key}.conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.bn", cout)
+            if not last:
+                aprelu(f"{key}.act", cout, w)
+            ctfa(f"{key}.ctfa", cout, w)
+        elif btype == 1:
+            m = nn.Conv2d(cin, cout, 1, groups=g)
+            sd.update({f"{key}.pconv_conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.pconv_bn", cout)
+            aprelu(f"{key}.pconv_act", cout, in_width(w, s, deconv))
+            m = mod(cout, cout, k, stride=(1, s), groups=cout)
+            sd.update({f"{key}.dconv_conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.dconv_bn", cout)
+            if not last:
+                aprelu(f"{key}.dconv_act", cout, w)
+            ctfa(f"{key}.dconv_ctfa", cout, w)
+        else:
+            m = nn.Conv2d(cin, cout, 1, groups=g)
+            sd.update({f"{key}.pconv1_conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.pconv1_bn", cout)
+            aprelu(f"{key}.pconv1_act", cout, in_width(w, s, deconv))
+            m = mod(cout, cout, k, stride=(1, s), groups=cout)
+            sd.update({f"{key}.dconv_conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.dconv_bn", cout)
+            aprelu(f"{key}.dconv_act", cout, w)
+            m = nn.Conv2d(cout, cout, 1, groups=g)
+            sd.update({f"{key}.pconv2_conv.{n}": v for n, v in m.state_dict().items()})
+            bn(f"{key}.pconv2_bn", cout)
+            ctfa(f"{key}.pconv2_ctfa", cout, w)
+
+    # ERB learned filterbank (frozen linears): 192 high bins ↔ 64 bands
+    sd["erb.erb_fc.weight"] = torch.rand(64, 192)
+    sd["erb.ierb_fc.weight"] = torch.rand(192, 64)
+
+    cin = 1
+    for i, t in enumerate(types):
+        block(f"encoder.en_convs.{i}", t, cin, channels[i], widths[i],
+              kernels[i], strides[i], groups[i])
+        cin = channels[i]
+    for j, i in enumerate(range(len(types) - 1, 0, -1)):
+        block(f"decoder.de_convs.{j}", types[i], channels[i], channels[i - 1],
+              widths[i - 1], kernels[i], strides[i], groups[i], deconv=True)
+    block(f"decoder.de_convs.{len(types) - 1}", types[0], channels[0], 1, 129,
+          kernels[0], strides[0], groups[0], deconv=True, last=True)
+
+    def dpgrnn(key, c=16, w=33):
+        for rnn_name, hid, bi in (("intra_rnn", c // 4, True), ("inter_rnn", c // 2, False)):
+            for sub in ("rnn1", "rnn2"):
+                g = nn.GRU(c // 2, hid, 1, batch_first=False, bidirectional=bi)
+                sd.update({f"{key}.{rnn_name}.{sub}.{n}": v for n, v in g.state_dict().items()})
+        for fc in ("intra_fc", "inter_fc"):
+            sd.update({f"{key}.{fc}.{n}": v for n, v in nn.Linear(c, c).state_dict().items()})
+        for ln in ("intra_ln", "inter_ln"):
+            sd.update({f"{key}.{ln}.{n}": v for n, v in nn.LayerNorm((w, c)).state_dict().items()})
+
+    dpgrnn("dpgrnn.0")
+    dpgrnn("dpgrnn.1")
+    return sd
+
+
+def test_import_ul_unas_runs_forward():
+    import jax
+
+    from audiojax.models.ul_unas import UlUnasConfig, ul_unas_forward
+
+    params = import_checkpoint("ul_unas", _ul_unas_state_dict())
+    audio = jnp.asarray((np.random.default_rng(4).standard_normal(8192) * 5000).astype(np.int16)[None])
+    out = ul_unas_forward(jax.tree.map(jnp.asarray, params), audio, UlUnasConfig())
+    assert out.shape == (1, 8192)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_ul_unas_affine_prelu_golden():
+    """Fused AffinePReLU == raw (affine+1 | affine+slope)·x + bias."""
+    from audiojax.models.ul_unas import affine_prelu
+
+    sd = _ul_unas_state_dict()
+    key = "encoder.en_convs.0.act"
+    aw = sd[f"{key}.affine_weight"].numpy()[0, :, 0, :]  # (C, W)
+    ab = sd[f"{key}.affine_bias"].numpy()[0, :, 0, :]
+    sl = sd[f"{key}.slope_weight"].numpy()[0, :, 0, 0]
+
+    params = import_checkpoint("ul_unas", sd, strict=False)
+    x = np.random.default_rng(5).standard_normal((2, 3, 65, 12)).astype(np.float32)  # (B,T,F,C)
+    ours = np.asarray(affine_prelu(
+        {k: jnp.asarray(v) for k, v in params["enc0"]["act"].items()}, jnp.asarray(x)))
+    xcw = x.transpose(0, 3, 1, 2)  # (B, C, T, W)
+    ref = np.where(xcw > 0, (aw + 1.0)[None, :, None, :], (aw + sl[:, None])[None, :, None, :]) * xcw \
+        + ab[None, :, None, :]
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=1e-6)
