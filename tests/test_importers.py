@@ -680,3 +680,121 @@ def test_import_ul_unas_affine_prelu_golden():
     ref = np.where(xcw > 0, (aw + 1.0)[None, :, None, :], (aw + sl[:, None])[None, :, None, :]) * xcw \
         + ab[None, :, None, :]
     np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+# ── MossFormer2-SE-48K (ClearVoice layout, Export_MossFormer_SE.py) ──────────
+
+
+def _m2se_state_dict(cfg):
+    torch.manual_seed(12)
+    sd = {}
+    P = "mossformer_se"
+    d, qk, vu, inner, k = cfg.dim, cfg.qk_dim, cfg.vu_dim, cfg.fsmn_inner, cfg.dw_kernel
+
+    def lin(key, o, i, bias=True, s=0.1):
+        sd[f"{key}.weight"] = torch.randn(o, i) * s
+        if bias:
+            sd[f"{key}.bias"] = torch.randn(o) * s
+
+    def dw(key, c):
+        sd[f"{key}.weight"] = torch.randn(c, 1, k) * 0.1
+
+    def ffconvm(key, o, i, scale_norm=True):
+        if scale_norm:
+            sd[f"{key}.mdl.0.g"] = torch.rand(1) + 0.5
+        else:  # LayerNorm branch (gated FSMN gates)
+            sd[f"{key}.mdl.0.weight"] = torch.rand(i) + 0.5
+            sd[f"{key}.mdl.0.bias"] = torch.randn(i) * 0.05
+        lin(f"{key}.mdl.1", o, i)
+        dw(f"{key}.mdl.3.sequential.1.conv", o)
+
+    feat = 3 * cfg.n_mels
+    sd[f"{P}.norm.weight"] = torch.rand(feat) + 0.5
+    sd[f"{P}.norm.bias"] = torch.randn(feat) * 0.05
+    lin(f"{P}.conv1d_encoder", d, feat)
+    sd[f"{P}.conv1d_encoder.weight"] = sd[f"{P}.conv1d_encoder.weight"].unsqueeze(-1)
+    sd[f"{P}.pos_enc.scale"] = torch.rand(1)
+    mm = f"{P}.mdl.intra_mdl.mossformerM"
+    for i in range(cfg.depth):
+        fl = f"{mm}.layers.{i}"
+        ffconvm(f"{fl}.to_hidden", 2 * vu, d)
+        ffconvm(f"{fl}.to_qk", qk, d)
+        sd[f"{fl}.qk_offset_scale.gamma"] = torch.randn(4, qk) * 0.1 + 1.0
+        sd[f"{fl}.qk_offset_scale.beta"] = torch.randn(4, qk) * 0.05
+        ffconvm(f"{fl}.to_out", d, vu)
+        fb = f"{mm}.fsmn.{i}"
+        lin(f"{fb}.conv1.0", inner, d)
+        sd[f"{fb}.conv1.0.weight"] = sd[f"{fb}.conv1.0.weight"].unsqueeze(-1)
+        sd[f"{fb}.conv1.1.weight"] = torch.full((1,), 0.25)
+        sd[f"{fb}.norm1.weight"] = torch.rand(inner) + 0.5
+        sd[f"{fb}.norm1.bias"] = torch.randn(inner) * 0.05
+        ffconvm(f"{fb}.gated_fsmn.to_u", inner, inner, scale_norm=False)
+        ffconvm(f"{fb}.gated_fsmn.to_v", inner, inner, scale_norm=False)
+        lin(f"{fb}.gated_fsmn.fsmn.linear", inner, inner)
+        lin(f"{fb}.gated_fsmn.fsmn.project", inner, inner, bias=False)
+        sd[f"{fb}.gated_fsmn.fsmn.conv1.weight"] = torch.randn(inner, 1, 2 * cfg.lorder - 1, 1) * 0.1
+        sd[f"{fb}.norm2.weight"] = torch.rand(inner) + 0.5
+        sd[f"{fb}.norm2.bias"] = torch.randn(inner) * 0.05
+        lin(f"{fb}.conv2", d, inner)
+        sd[f"{fb}.conv2.weight"] = sd[f"{fb}.conv2.weight"].unsqueeze(-1)
+    sd[f"{P}.mdl.intra_mdl.norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{P}.mdl.intra_mdl.norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{P}.mdl.intra_norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{P}.mdl.intra_norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{P}.prelu.weight"] = torch.full((1,), 0.25)
+    sd[f"{P}.conv1d_out.weight"] = torch.randn(2 * d, d, 1) * 0.1
+    sd[f"{P}.conv1d_out.bias"] = torch.randn(2 * d) * 0.1
+    lin(f"{P}.output.0", d, d)
+    sd[f"{P}.output.0.weight"] = sd[f"{P}.output.0.weight"].unsqueeze(-1)
+    lin(f"{P}.output_gate.0", d, d)
+    sd[f"{P}.output_gate.0.weight"] = sd[f"{P}.output_gate.0.weight"].unsqueeze(-1)
+    sd[f"{P}.conv1_decoder.weight"] = torch.randn(cfg.stft_bins, d, 1) * 0.1
+    return sd
+
+
+def test_import_mossformer2_se_structure_and_forward():
+    import dataclasses
+
+    import jax
+
+    from audiojax.models.mossformer2_se import (
+        MossFormer2SeConfig, init_mossformer2_se, mossformer2_se_forward)
+
+    cfg = dataclasses.replace(MossFormer2SeConfig(), dim=32, depth=2, group_size=16,
+                              qk_dim=8, vu_dim=64, fsmn_inner=16, lorder=4, dw_kernel=5, rot_dim=8)
+    sd = _m2se_state_dict(cfg)
+    params = import_checkpoint("mossformer2_se", sd, cfg=cfg)
+    ref = init_mossformer2_se(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        gs = tuple(np.asarray(g).shape)
+        # scalar PReLU alphas broadcast against our per-channel init
+        assert gs == tuple(r.shape) or gs == (1,), (r.shape, gs)
+
+    audio = jnp.asarray((np.random.default_rng(6).standard_normal(48000) * 5000).astype(np.int16)[None])
+    out = mossformer2_se_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
+    assert out.shape == (1, 48000)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_import_mossformer2_se_tail_fold_golden():
+    """tail_gate == output‖output_gate applied to the speaker-0 conv1d_out rows."""
+    import dataclasses
+
+    from audiojax.models.mossformer2_se import MossFormer2SeConfig
+
+    cfg = dataclasses.replace(MossFormer2SeConfig(), dim=32, depth=1, group_size=16,
+                              qk_dim=8, vu_dim=64, fsmn_inner=16, lorder=4, dw_kernel=5, rot_dim=8)
+    sd = _m2se_state_dict(cfg)
+    params = import_checkpoint("mossformer2_se", sd, cfg=cfg, strict=False)
+
+    d = cfg.dim
+    x = np.random.default_rng(7).standard_normal(d).astype(np.float32)
+    spk = sd["mossformer_se.conv1d_out.weight"].numpy()[:d, :, 0] @ x \
+        + sd["mossformer_se.conv1d_out.bias"].numpy()[:d]
+    want = np.concatenate([
+        sd["mossformer_se.output.0.weight"].numpy()[:, :, 0] @ spk + sd["mossformer_se.output.0.bias"].numpy(),
+        sd["mossformer_se.output_gate.0.weight"].numpy()[:, :, 0] @ spk + sd["mossformer_se.output_gate.0.bias"].numpy(),
+    ])
+    got = x @ np.asarray(params["tail_gate"]["w"]) + np.asarray(params["tail_gate"]["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
