@@ -798,3 +798,96 @@ def test_import_mossformer2_se_tail_fold_golden():
     ])
     got = x @ np.asarray(params["tail_gate"]["w"]) + np.asarray(params["tail_gate"]["b"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_import_mossformer2_ss_structure_and_forward():
+    """ClearVoice separation layout: encoder/decoder convs, dilated-FSMN
+    memory stacks imported raw, per-speaker tail fold."""
+    import dataclasses
+
+    import jax
+
+    from audiojax.models.mossformer2_ss import (
+        MossFormer2SsConfig, init_mossformer2_ss, mossformer2_ss_forward)
+
+    torch.manual_seed(13)
+    cfg = dataclasses.replace(MossFormer2SsConfig(), dim=32, depth=2, group_size=16,
+                              qk_dim=8, vu_dim=64, fsmn_inner=16, lorder=4,
+                              dw_kernel=5, rot_dim=8, mem_depth=2)
+    sd = {}
+    P, mn = "mossformer_ss", "mossformer_ss.mask_net"
+    mm = f"{mn}.mdl.intra_mdl.mossformerM"
+    d, qk, vu, inner, k = cfg.dim, cfg.qk_dim, cfg.vu_dim, cfg.fsmn_inner, cfg.dw_kernel
+
+    def lin(key, o, i, bias=True, k1=False, s=0.1):
+        w = torch.randn(o, i) * s
+        sd[f"{key}.weight"] = w.unsqueeze(-1) if k1 else w
+        if bias:
+            sd[f"{key}.bias"] = torch.randn(o) * s
+
+    def ffconvm(key, o, i, scale_norm=True):
+        if scale_norm:
+            sd[f"{key}.mdl.0.g"] = torch.rand(1) + 0.5
+        else:
+            sd[f"{key}.mdl.0.weight"] = torch.rand(i) + 0.5
+            sd[f"{key}.mdl.0.bias"] = torch.randn(i) * 0.05
+        lin(f"{key}.mdl.1", o, i)
+        sd[f"{key}.mdl.3.sequential.1.conv.weight"] = torch.randn(o, 1, k) * 0.1
+
+    sd[f"{P}.enc.conv1d.weight"] = torch.randn(d, 1, cfg.enc_kernel) * 0.1
+    sd[f"{P}.enc.conv1d.bias"] = torch.randn(d) * 0.1
+    sd[f"{P}.dec.weight"] = torch.randn(d, 1, cfg.enc_kernel) * 0.1
+    sd[f"{P}.dec.bias"] = torch.randn(1) * 0.1
+    sd[f"{mn}.norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{mn}.norm.bias"] = torch.randn(d) * 0.05
+    lin(f"{mn}.conv1d_encoder", d, d, k1=True)
+    sd[f"{mn}.pos_enc.scale"] = torch.rand(1)
+    for i in range(cfg.depth):
+        fl = f"{mm}.layers.{i}"
+        ffconvm(f"{fl}.to_hidden", 2 * vu, d)
+        ffconvm(f"{fl}.to_qk", qk, d)
+        sd[f"{fl}.qk_offset_scale.gamma"] = torch.randn(4, qk) * 0.1 + 1.0
+        sd[f"{fl}.qk_offset_scale.beta"] = torch.randn(4, qk) * 0.05
+        ffconvm(f"{fl}.to_out", d, vu)
+        fb = f"{mm}.fsmn.{i}"
+        lin(f"{fb}.conv1.0", inner, d, k1=True)
+        sd[f"{fb}.conv1.1.weight"] = torch.full((1,), 0.25)
+        for nrm in ("norm1", "norm2"):
+            sd[f"{fb}.{nrm}.weight"] = torch.rand(inner) + 0.5
+            sd[f"{fb}.{nrm}.bias"] = torch.randn(inner) * 0.05
+        ffconvm(f"{fb}.gated_fsmn.to_u", inner, inner, scale_norm=False)
+        ffconvm(f"{fb}.gated_fsmn.to_v", inner, inner, scale_norm=False)
+        lin(f"{fb}.gated_fsmn.fsmn.linear", inner, inner)
+        lin(f"{fb}.gated_fsmn.fsmn.project", inner, inner, bias=False)
+        for j in range(cfg.mem_depth):
+            cin = inner * (j + 1)
+            sd[f"{fb}.gated_fsmn.fsmn.conv.conv{j + 1}.weight"] = \
+                torch.randn(inner, cin // inner, 2 * cfg.lorder - 1, 1) * 0.1
+            sd[f"{fb}.gated_fsmn.fsmn.conv.norm{j + 1}.weight"] = torch.rand(inner) + 0.5
+            sd[f"{fb}.gated_fsmn.fsmn.conv.norm{j + 1}.bias"] = torch.randn(inner) * 0.05
+            sd[f"{fb}.gated_fsmn.fsmn.conv.prelu{j + 1}.weight"] = torch.full((inner,), 0.25)
+        lin(f"{fb}.conv2", d, inner, k1=True)
+    sd[f"{mn}.mdl.intra_mdl.norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{mn}.mdl.intra_mdl.norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{mn}.mdl.intra_norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{mn}.mdl.intra_norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{mn}.prelu.weight"] = torch.full((1,), 0.25)
+    sd[f"{mn}.conv1d_out.weight"] = torch.randn(cfg.num_spks * d, d, 1) * 0.1
+    sd[f"{mn}.conv1d_out.bias"] = torch.randn(cfg.num_spks * d) * 0.1
+    lin(f"{mn}.output.0", d, d, k1=True)
+    lin(f"{mn}.output_gate.0", d, d, k1=True)
+    sd[f"{mn}.conv1_decoder.weight"] = torch.randn(d, d, 1) * 0.1
+
+    params = import_checkpoint("mossformer2_ss", sd, cfg=cfg)
+    ref = init_mossformer2_ss(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        gs = tuple(np.asarray(g).shape)
+        assert gs == tuple(r.shape) or gs == (1,), (r.shape, gs)
+
+    audio = jnp.asarray((np.random.default_rng(8).standard_normal(16000) * 5000).astype(np.int16)[None])
+    outs = mossformer2_ss_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.shape == (1, 16000)
+        assert bool(jnp.isfinite(o.astype(jnp.float32)).all())
