@@ -31,6 +31,7 @@ from .dfsmn_aec import import_dfsmn_aec
 from .melband import import_melband
 from .mossformer2_se import import_mossformer2_se
 from .mossformer2_ss import import_mossformer2_ss
+from .mossformer_sr import import_mossformer_sr
 from .nkf import import_nkf
 from .sdaec import import_sdaec
 from .ul_unas import import_ul_unas
@@ -52,6 +53,7 @@ _IMPORTERS = {
     "ul_unas": import_ul_unas,
     "mossformer2_se": import_mossformer2_se,
     "mossformer2_ss": import_mossformer2_ss,
+    "mossformer2_sr": import_mossformer_sr,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -94,4 +96,4 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
            "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
            "import_dfsmn_aec", "import_ul_unas", "import_mossformer2_se",
-           "import_mossformer2_ss"]
+           "import_mossformer2_ss", "import_mossformer_sr"]

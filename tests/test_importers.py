@@ -891,3 +891,109 @@ def test_import_mossformer2_ss_structure_and_forward():
     for o in outs:
         assert o.shape == (1, 16000)
         assert bool(jnp.isfinite(o.astype(jnp.float32)).all())
+
+
+def test_import_mossformer_sr_structure_and_forward():
+    """SR importer: mask net (SE recipe, 1-speaker tail fold) + HiFi-GAN
+    generator including weight-norm (weight_g/weight_v) composition."""
+    import dataclasses
+
+    import jax
+
+    from audiojax.models.mossformer_sr import (
+        MossFormerSrConfig, init_mossformer_sr, mossformer_sr_forward)
+
+    torch.manual_seed(14)
+    cfg = dataclasses.replace(
+        MossFormerSrConfig(), dim=32, depth=1, group_size=16, qk_dim=8, vu_dim=64,
+        fsmn_inner=16, lorder=4, dw_kernel=5, rot_dim=8, n_mels=16,
+        gen_channels=32, gen_up_rates=(4, 4, 4, 4), gen_up_kernels=(8, 8, 8, 8),
+        gen_res_kernels=(3,), gen_res_dilations=(1, 3))
+    sd = {}
+    mn, mm = "mask_net", "mask_net.mdl.intra_mdl.mossformerM"
+    d, qk, vu, inner, k = cfg.dim, cfg.qk_dim, cfg.vu_dim, cfg.fsmn_inner, cfg.dw_kernel
+
+    def lin(key, o, i, bias=True, k1=False, s=0.1):
+        w = torch.randn(o, i) * s
+        sd[f"{key}.weight"] = w.unsqueeze(-1) if k1 else w
+        if bias:
+            sd[f"{key}.bias"] = torch.randn(o) * s
+
+    def ffconvm(key, o, i, scale_norm=True):
+        if scale_norm:
+            sd[f"{key}.mdl.0.g"] = torch.rand(1) + 0.5
+        else:
+            sd[f"{key}.mdl.0.weight"] = torch.rand(i) + 0.5
+            sd[f"{key}.mdl.0.bias"] = torch.randn(i) * 0.05
+        lin(f"{key}.mdl.1", o, i)
+        sd[f"{key}.mdl.3.sequential.1.conv.weight"] = torch.randn(o, 1, k) * 0.1
+
+    sd[f"{mn}.norm.weight"] = torch.rand(cfg.n_mels) + 0.5
+    sd[f"{mn}.norm.bias"] = torch.randn(cfg.n_mels) * 0.05
+    lin(f"{mn}.conv1d_encoder", d, cfg.n_mels, k1=True)
+    sd[f"{mn}.pos_enc.scale"] = torch.rand(1)
+    for i in range(cfg.depth):
+        fl = f"{mm}.layers.{i}"
+        ffconvm(f"{fl}.to_hidden", 2 * vu, d)
+        ffconvm(f"{fl}.to_qk", qk, d)
+        sd[f"{fl}.qk_offset_scale.gamma"] = torch.randn(4, qk) * 0.1 + 1.0
+        sd[f"{fl}.qk_offset_scale.beta"] = torch.randn(4, qk) * 0.05
+        ffconvm(f"{fl}.to_out", d, vu)
+        fb = f"{mm}.fsmn.{i}"
+        lin(f"{fb}.conv1.0", inner, d, k1=True)
+        sd[f"{fb}.conv1.1.weight"] = torch.full((1,), 0.25)
+        for nrm in ("norm1", "norm2"):
+            sd[f"{fb}.{nrm}.weight"] = torch.rand(inner) + 0.5
+            sd[f"{fb}.{nrm}.bias"] = torch.randn(inner) * 0.05
+        ffconvm(f"{fb}.gated_fsmn.to_u", inner, inner, scale_norm=False)
+        ffconvm(f"{fb}.gated_fsmn.to_v", inner, inner, scale_norm=False)
+        lin(f"{fb}.gated_fsmn.fsmn.linear", inner, inner)
+        lin(f"{fb}.gated_fsmn.fsmn.project", inner, inner, bias=False)
+        sd[f"{fb}.gated_fsmn.fsmn.conv1.weight"] = torch.randn(inner, 1, 2 * cfg.lorder - 1, 1) * 0.1
+        lin(f"{fb}.conv2", d, inner, k1=True)
+    sd[f"{mn}.mdl.intra_mdl.norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{mn}.mdl.intra_mdl.norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{mn}.mdl.intra_norm.weight"] = torch.rand(d) + 0.5
+    sd[f"{mn}.mdl.intra_norm.bias"] = torch.randn(d) * 0.05
+    sd[f"{mn}.prelu.weight"] = torch.full((1,), 0.25)
+    sd[f"{mn}.conv1d_out.weight"] = torch.randn(d, d, 1) * 0.1
+    sd[f"{mn}.conv1d_out.bias"] = torch.randn(d) * 0.1
+    lin(f"{mn}.output.0", d, d, k1=True)
+    lin(f"{mn}.output_gate.0", d, d, k1=True)
+    sd[f"{mn}.conv1_decoder.weight"] = torch.randn(cfg.n_mels, d, 1) * 0.1
+
+    # generator (weight-norm form for ups + plain for the rest)
+    ch = cfg.gen_channels
+    sd["generator.conv_pre.weight"] = torch.randn(ch, cfg.n_mels, 7) * 0.1
+    sd["generator.conv_pre.bias"] = torch.randn(ch) * 0.1
+    for i, (r, kk) in enumerate(zip(cfg.gen_up_rates, cfg.gen_up_kernels)):
+        sd[f"generator.snakes.{i}.alpha"] = torch.rand(ch) + 0.5
+        w = torch.randn(ch, ch // 2, kk) * 0.1
+        sd[f"generator.ups.{i}.weight_v"] = w
+        sd[f"generator.ups.{i}.weight_g"] = torch.rand(ch, 1, 1) + 0.5
+        sd[f"generator.ups.{i}.bias"] = torch.randn(ch // 2) * 0.1
+        ch //= 2
+        for j, rk in enumerate(cfg.gen_res_kernels):
+            base = f"generator.resblocks.{i * len(cfg.gen_res_kernels) + j}"
+            for jj in range(len(cfg.gen_res_dilations)):
+                sd[f"{base}.convs1_activates.{jj}.alpha"] = torch.rand(ch) + 0.5
+                sd[f"{base}.convs1.{jj}.weight"] = torch.randn(ch, ch, rk) * 0.1
+                sd[f"{base}.convs1.{jj}.bias"] = torch.randn(ch) * 0.1
+                sd[f"{base}.convs2_activates.{jj}.alpha"] = torch.rand(ch) + 0.5
+                sd[f"{base}.convs2.{jj}.weight"] = torch.randn(ch, ch, rk) * 0.1
+                sd[f"{base}.convs2.{jj}.bias"] = torch.randn(ch) * 0.1
+    sd["generator.snake_post.alpha"] = torch.rand(ch) + 0.5
+    sd["generator.conv_post.weight"] = torch.randn(1, ch, 7) * 0.1
+    sd["generator.conv_post.bias"] = torch.randn(1) * 0.1
+
+    params = import_checkpoint("mossformer2_sr", sd, cfg=cfg)
+    ref = init_mossformer_sr(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        gs = tuple(np.asarray(g).shape)
+        assert gs == tuple(r.shape) or gs == (1,), (r.shape, gs)
+
+    audio = jnp.asarray((np.random.default_rng(9).standard_normal(8192) * 5000).astype(np.int16)[None])
+    out = mossformer_sr_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
+    assert out.shape == (1, 8192 * 3)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
