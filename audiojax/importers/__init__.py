@@ -32,6 +32,7 @@ from .melband import import_melband
 from .mossformer2_se import import_mossformer2_se
 from .mossformer2_ss import import_mossformer2_ss
 from .mossformer_sr import import_mossformer_sr
+from .mossformergan_se import import_mossformergan_se
 from .nkf import import_nkf
 from .sdaec import import_sdaec
 from .ul_unas import import_ul_unas
@@ -54,6 +55,7 @@ _IMPORTERS = {
     "mossformer2_se": import_mossformer2_se,
     "mossformer2_ss": import_mossformer2_ss,
     "mossformer2_sr": import_mossformer_sr,
+    "mossformergan_se": import_mossformergan_se,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -96,4 +98,5 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
            "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
            "import_dfsmn_aec", "import_ul_unas", "import_mossformer2_se",
-           "import_mossformer2_ss", "import_mossformer_sr"]
+           "import_mossformer2_ss", "import_mossformer_sr",
+           "import_mossformergan_se"]

@@ -200,11 +200,13 @@ def triple_attention(p, x, cfg: MossFormerGanConfig):
     qk = qkv[..., : 2 * h * qc].reshape(b, t, f, 2, h, qc)
     qk = jnp.moveaxis(qk, (3, 4), (1, 2))  # (B, 2, h, t, f, qc)
     qk = core.layer_norm(None, jnp.swapaxes(qk, -1, -2), ndims=2)  # LN over (qc, f)
-    qk = qk * p["qk_g"] + p["qk_b"]
+    # per-(q/k, head) affines with the D^-1/4 attention scale folded in
+    # (Export_MossFormer_SE.py:500-529)
+    qk = qk * p["qk_g"] + p["qk_b"]  # (2, h, 1, qc, f) broadcast
     vv = qkv[..., 2 * h * qc :].reshape(b, t, f, h, vc)
     vv = jnp.moveaxis(vv, 3, 1)  # (B, h, t, f, vc)
     vv = core.layer_norm(None, jnp.swapaxes(vv, -1, -2), ndims=2)
-    vv = vv * p["v_g"] + p["v_b"]
+    vv = vv * p["v_g"] + p["v_b"]  # (h, 1, vc, f) broadcast
 
     q = qk[:, 0].reshape(b, h, t, qc * f)
     k = qk[:, 1].reshape(b, h, t, qc * f)
@@ -247,10 +249,12 @@ def _decoder(p, x, cfg: MossFormerGanConfig, out_ch: int):
     h = core.conv2d(p["sp_conv"], h, padding=(0, 1))  # (B,T,F',2C)
     b, t, f, c2 = h.shape
     c = c2 // 2
-    # torch SPConvTranspose2d channel order: r-major (view (r, C, ...)):
+    # torch SPConvTranspose2d: channels view (r, C) r-major; width interleaves
+    # f-major with r fastest (view(b,r,C,T,F).permute(0,2,3,4,1).view(…,F·r),
+    # Export_MossFormer_SE.py:815-818) — merging the adjacent (f, r) axes
+    # reproduces exactly that order.
     h = h.reshape(b, t, f, 2, c)
-    h = jnp.swapaxes(h, -2, -3).reshape(b, t, f * 2, c)
-    return h
+    return h.reshape(b, t, f * 2, c)
 
 
 def mossformergan_net(p, mag_c, spec_c, cfg: MossFormerGanConfig):
@@ -399,10 +403,10 @@ def _init_attn(key, cfg):
     return {
         "qkv": core.init_conv2d(ks[0], 1, 1, cfg.emb_dim, out_ch),
         "qkv_act": {"alpha": jnp.full((out_ch,), 0.25)},
-        "qk_g": jnp.ones((qc, f)),
-        "qk_b": jnp.zeros((qc, f)),
-        "v_g": jnp.ones((vc, f)),
-        "v_b": jnp.zeros((vc, f)),
+        "qk_g": jnp.ones((2, h, 1, qc, f)) * float((qc * f) ** -0.25),
+        "qk_b": jnp.zeros((2, h, 1, qc, f)),
+        "v_g": jnp.ones((h, 1, vc, f)),
+        "v_b": jnp.zeros((h, 1, vc, f)),
         "proj": core.init_conv2d(ks[1], 1, 1, h * vc, cfg.emb_dim),
         "proj_act": {"alpha": jnp.full((cfg.emb_dim,), 0.25)},
         "cf_g": jnp.ones((f, cfg.emb_dim)),
