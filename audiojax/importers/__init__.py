@@ -12,9 +12,8 @@ of silently dropping weights.  A JSON audit report (the rewrite scripts'
 report analog, /root/reference/GTCRN/Rewrite_ONNX_GRU_Zero_State.py:307-326)
 can be written via ``report_path``.
 
-Importers exist for the models whose upstream checkpoints map 1:1 onto our
-parameter trees; the remaining families share the same toolbox
-(importers.common) and land as their checkpoints are exercised.
+Importers cover ALL 14 model families (one per reference model directory);
+H-GTCRN shares the GTCRN recipe and DFSMN-AEC composes its backend's.
 """
 from __future__ import annotations
 
@@ -36,6 +35,7 @@ from .mossformergan_se import import_mossformergan_se
 from .nkf import import_nkf
 from .sdaec import import_sdaec
 from .ul_unas import import_ul_unas
+from .zipenhancer import import_zipenhancer
 
 _IMPORTERS = {
     "gtcrn": import_gtcrn,
@@ -56,6 +56,7 @@ _IMPORTERS = {
     "mossformer2_ss": import_mossformer2_ss,
     "mossformer2_sr": import_mossformer_sr,
     "mossformergan_se": import_mossformergan_se,
+    "zipenhancer": import_zipenhancer,
 }
 
 # torch bookkeeping buffers that carry no weights — ignored, not drift
@@ -99,4 +100,4 @@ __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
            "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
            "import_dfsmn_aec", "import_ul_unas", "import_mossformer2_se",
            "import_mossformer2_ss", "import_mossformer_sr",
-           "import_mossformergan_se"]
+           "import_mossformergan_se", "import_zipenhancer"]

@@ -141,9 +141,11 @@ def downsampled_encoder(p, x, cfg: ZipEnhancerConfig, t_ds: int, f_ds: int):
     seq = simple_downsample(p["down_f"], seq, f_ds)
     df = seq.shape[1]
 
-    seq = zipformer_layer(p["f_layer"], seq, compact_rel_pos(df, cfg.pos_dim), **_layer_kwargs(cfg))
+    y = zipformer_layer(p["f_layer"], seq, compact_rel_pos(df, cfg.pos_dim), **_layer_kwargs(cfg))
+    seq = bypass(p["bypass_f"], seq, y)
     seq = jnp.swapaxes(seq.reshape(b, dt, df, c), 1, 2).reshape(b * df, dt, c)
-    seq = zipformer_layer(p["t_layer"], seq, compact_rel_pos(dt, cfg.pos_dim), **_layer_kwargs(cfg))
+    y = zipformer_layer(p["t_layer"], seq, compact_rel_pos(dt, cfg.pos_dim), **_layer_kwargs(cfg))
+    seq = bypass(p["bypass_t"], seq, y)
 
     seq = seq * p["combine_scale"]
     # upsample freq then time, trim the pooling pad
@@ -271,11 +273,10 @@ def _init_ts(key, cfg, downsampled):
         "f_layer": init_zipformer_layer(ks[0], cfg.channels, **lk),
         "t_layer": init_zipformer_layer(ks[1], cfg.channels, **lk),
     }
+    p["bypass_f"] = jnp.full((cfg.channels,), 0.5)
+    p["bypass_t"] = jnp.full((cfg.channels,), 0.5)
     if downsampled:
         p["combine_scale"] = jnp.full((cfg.channels,), 0.5)
-    else:
-        p["bypass_f"] = jnp.full((cfg.channels,), 0.5)
-        p["bypass_t"] = jnp.full((cfg.channels,), 0.5)
     return p
 
 

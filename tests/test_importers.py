@@ -1133,3 +1133,109 @@ def test_import_mossformergan_subpixel_matches_torch():
     ours = np.asarray(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))  # (b,t,f,rc)
                       .reshape(b, t, f, r, c).reshape(b, t, f * r, c))
     np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_import_zipenhancer_structure_and_forward():
+    """ModelScope Zipformer2 layout imports RAW (our model keeps the unfused
+    algebraic form); phase r/i heads fuse into one 2-channel conv."""
+    import dataclasses
+
+    import jax
+
+    from audiojax.models.zipenhancer import (
+        ZipEnhancerConfig, init_zipenhancer, zipenhancer_forward)
+
+    torch.manual_seed(16)
+    cfg = dataclasses.replace(
+        ZipEnhancerConfig(), channels=16, dense_depth=2, num_heads=2,
+        query_head_dim=4, pos_head_dim=2, value_head_dim=4, ff_hidden=24,
+        nonlin_hidden=12, conv_kernel=5, pos_dim=8,
+        encoder_downsample=((1, 1), (2, 2)), fold_window=0)
+    c = cfg.channels
+    sd = {}
+    P, de = "zip_enhancer", "zip_enhancer.dense_encoder"
+
+    def conv2d(key, cout, cin, k, s=0.1):
+        sd[f"{key}.weight"] = torch.randn(cout, cin, *k) * s
+        sd[f"{key}.bias"] = torch.randn(cout) * s
+
+    def in2d(key, ch):
+        sd[f"{key}.weight"] = torch.rand(ch) + 0.5
+        sd[f"{key}.bias"] = torch.randn(ch) * 0.05
+
+    def prelu(key, n):
+        sd[f"{key}.weight"] = torch.full((n,), 0.25)
+
+    def lin(key, o, i, bias=True):
+        sd[f"{key}.weight"] = torch.randn(o, i) * 0.1
+        if bias:
+            sd[f"{key}.bias"] = torch.randn(o) * 0.1
+
+    def dense(key):
+        for i in range(cfg.dense_depth):
+            conv2d(f"{key}.dense_block.{i}.1", c, c * (i + 1), (2, 3))
+            in2d(f"{key}.dense_block.{i}.2", c)
+            prelu(f"{key}.dense_block.{i}.3", c)
+
+    def zlayer(key):
+        h, qd, pdim, vd = cfg.num_heads, cfg.query_head_dim, cfg.pos_head_dim, cfg.value_head_dim
+        lin(f"{key}.self_attn_weights.in_proj", h * (2 * qd + pdim), c)
+        lin(f"{key}.self_attn_weights.linear_pos", h * pdim, cfg.pos_dim, bias=False)
+        for ffn in ("feed_forward1", "feed_forward2", "feed_forward3"):
+            lin(f"{key}.{ffn}.in_proj", cfg.ff_hidden, c)
+            lin(f"{key}.{ffn}.out_proj", c, cfg.ff_hidden)
+        lin(f"{key}.nonlin_attention.in_proj", 3 * cfg.nonlin_hidden, c)
+        lin(f"{key}.nonlin_attention.out_proj", c, cfg.nonlin_hidden)
+        for san in ("self_attn1", "self_attn2"):
+            lin(f"{key}.{san}.in_proj", h * vd, c)
+            lin(f"{key}.{san}.out_proj", c, h * vd)
+        for cmn in ("conv_module1", "conv_module2"):
+            lin(f"{key}.{cmn}.in_proj", 2 * c, c)
+            sd[f"{key}.{cmn}.depthwise_conv.weight"] = torch.randn(c, 1, cfg.conv_kernel) * 0.1
+            sd[f"{key}.{cmn}.depthwise_conv.bias"] = torch.randn(c) * 0.1
+            lin(f"{key}.{cmn}.out_proj", c, c)
+        sd[f"{key}.bypass_mid.bypass_scale"] = torch.rand(c)
+        sd[f"{key}.bypass.bypass_scale"] = torch.rand(c)
+        sd[f"{key}.norm.bias"] = torch.randn(c) * 0.05
+        sd[f"{key}.norm.log_scale"] = torch.randn(1) * 0.1
+
+    conv2d(f"{de}.dense_conv_1.0", c, 2, (1, 1))
+    in2d(f"{de}.dense_conv_1.1", c)
+    prelu(f"{de}.dense_conv_1.2", c)
+    dense(f"{de}.dense_block")
+    conv2d(f"{de}.dense_conv_2.0", c, c, (1, 3))
+    in2d(f"{de}.dense_conv_2.1", c)
+    prelu(f"{de}.dense_conv_2.2", c)
+
+    for i, (t_ds, f_ds) in enumerate(cfg.encoder_downsample):
+        key = f"{P}.TSConformer.encoders.{i}"
+        inner = f"{key}.encoder" if t_ds > 1 or f_ds > 1 else key
+        zlayer(f"{inner}.f_layers.0")
+        zlayer(f"{inner}.t_layers.0")
+        sd[f"{inner}.bypass_layers.0.bypass_scale"] = torch.rand(c)
+        sd[f"{inner}.bypass_layers.1.bypass_scale"] = torch.rand(c)
+        if t_ds > 1 or f_ds > 1:
+            sd[f"{key}.out_combiner.bypass_scale"] = torch.rand(c)
+            sd[f"{key}.downsample_t.bias"] = torch.randn(t_ds) * 0.1
+            sd[f"{key}.downsample_f.bias"] = torch.randn(f_ds) * 0.1
+
+    for dec, head in (("mask_decoder", "mask_conv"), ("phase_decoder", "phase_conv")):
+        dense(f"{P}.{dec}.dense_block")
+        conv2d(f"{P}.{dec}.{head}.0.conv1", 2 * c, c, (1, 3))
+        in2d(f"{P}.{dec}.{head}.1", c)
+        prelu(f"{P}.{dec}.{head}.2", c)
+    conv2d(f"{P}.mask_decoder.mask_conv.3", 1, c, (1, 2))
+    conv2d(f"{P}.phase_decoder.phase_conv_r", 1, c, (1, 2))
+    conv2d(f"{P}.phase_decoder.phase_conv_i", 1, c, (1, 2))
+
+    params = import_checkpoint("zipenhancer", sd, cfg=cfg)
+    ref = init_zipenhancer(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(params)):
+        gs = tuple(np.asarray(g).shape)
+        assert gs == tuple(r.shape) or gs == (1,), (r.shape, gs)
+
+    audio = jnp.asarray((np.random.default_rng(11).standard_normal(8000) * 5000).astype(np.int16)[None])
+    out = zipenhancer_forward(jax.tree.map(jnp.asarray, params), audio, cfg)
+    assert out.shape == (1, 8000)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
