@@ -1,0 +1,102 @@
+"""Export entry point: upstream checkpoint → served audiojax artifact.
+
+Parity target: the reference's per-model Export_*.py call stack (SURVEY.md
+§3.1) — load the upstream torch checkpoint, apply the prefusion recipes,
+write the deployable artifact with its metadata contract, and finish with an
+end-to-end inference smoke test (every reference Export script's last act,
+/root/reference/GTCRN/Export_GTCRN.py:698-702).
+
+    python -m audiojax.runtime.export --model gtcrn \
+        --checkpoint ckpt.tar --out artifact_dir/ [--plan bf16]
+
+The import is fail-closed (unconsumed checkpoint keys abort) and writes
+``import_report.json`` next to the artifact.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+__all__ = ["export_artifact"]
+
+
+def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
+                    smoke: bool = True, import_kwargs=None):
+    """checkpoint (path or state dict) → artifact dir; returns a report dict."""
+    import numpy as np
+
+    from ..importers import import_checkpoint
+    from . import registry
+    from .checkpoint import save_artifact
+    from .optimize import optimize_artifact, wrap_forward
+    from .session import Session
+
+    spec = registry.get(model_name)
+    cfg = cfg if cfg is not None else spec.make_config()
+
+    if isinstance(ckpt, (str, Path)):
+        import torch
+
+        ckpt = torch.load(ckpt, map_location="cpu", weights_only=False)
+
+    out_dir = Path(out_dir)
+    kw = dict(import_kwargs or {})
+    try:
+        params = import_checkpoint(model_name, ckpt,
+                                   report_path=out_dir / "import_report.json",
+                                   cfg=cfg, **kw)
+    except TypeError:  # importer without a cfg parameter
+        params = import_checkpoint(model_name, ckpt,
+                                   report_path=out_dir / "import_report.json", **kw)
+
+    manifest = spec.make_manifest(cfg)
+    save_artifact(out_dir, params, manifest)
+    report = {"artifact": str(out_dir), "model": model_name}
+
+    if plan is not None:
+        optimize_artifact(out_dir, out_dir, plan)
+        from .checkpoint import load_artifact
+
+        params, manifest = load_artifact(out_dir)  # smoke what's on disk
+
+    if smoke:
+        # the reference runs the real inference script on a Test_Examples wav
+        # after every export; here: synthetic int16 inputs through the Session
+        rng = np.random.default_rng(0)
+        n_in = manifest.num_audio_inputs
+        length = min(manifest.input_audio_length, manifest.in_sample_rate)
+        audios = [(rng.standard_normal(length) * 6000).astype(np.int16)[None]
+                  for _ in range(n_in)]
+        fwd = wrap_forward(spec.make_forward(cfg), manifest)
+        result = Session(fwd, params, manifest).process(*audios)
+        if not all(np.isfinite(o.astype(np.float64)).all() for o in result.outputs):
+            raise RuntimeError("export smoke test produced non-finite output")
+        report["smoke"] = {
+            "out_samples": int(result.outputs[0].shape[-1]),
+            "outputs": len(result.outputs),
+            "rtf": round(result.rtf, 4),
+        }
+    return report
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    from .optimize import PLANS
+
+    ap = argparse.ArgumentParser(description="audiojax artifact exporter")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--checkpoint", required=True, help="torch checkpoint path")
+    ap.add_argument("--out", required=True, help="artifact output directory")
+    ap.add_argument("--plan", help="optional optimization plan (see optimize --list-plans)")
+    ap.add_argument("--no-smoke", action="store_true", help="skip the inference smoke test")
+    args = ap.parse_args(argv)
+    plan = PLANS[args.plan] if args.plan else None
+    report = export_artifact(args.model, args.checkpoint, args.out,
+                             plan=plan, smoke=not args.no_smoke)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -63,6 +63,25 @@ def main():
     elapsed_g = _bench_model(gfn, gparams, clip(total_g), iters=30)
     results["gtcrn"] = elapsed_g / (total_g / 16000.0)
 
+    # streaming RTF: 64 ms blocks through the state-carry step, steps chained
+    # on-device via the carried state (only the final transfer syncs)
+    from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
+
+    scfg = GtcrnConfig()
+    step = jax.jit(gtcrn_stream_step, static_argnames="cfg")
+    block = 4 * scfg.hop  # 64 ms
+    n_blocks = 150
+    sparams = init_gtcrn(jax.random.PRNGKey(0), scfg)
+    chunks = [jax.device_put(clip(block)) for _ in range(n_blocks)]
+    state = gtcrn_stream_init(scfg)
+    state, out = step(sparams, state, chunks[0], scfg)  # compile + warm
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for chnk in chunks:
+        state, out = step(sparams, state, chnk, scfg)
+    np.asarray(out)  # true sync
+    results["gtcrn_stream"] = (time.perf_counter() - t0) / (n_blocks * block / 16000.0)
+
     print(
         json.dumps(
             {
@@ -75,6 +94,7 @@ def main():
                     BASELINES["zipenhancer"] / results["zipenhancer_bf16"], 2),
                 "gtcrn_rtf": round(results["gtcrn"], 6),
                 "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
+                "gtcrn_stream_rtf_64ms_blocks": round(results["gtcrn_stream"], 6),
                 "chip": str(jax.devices()[0]),
             }
         )

@@ -298,3 +298,29 @@ def test_streaming_session_unsupported_model():
     spec = registry.get("zipenhancer")
     with pytest.raises(ValueError, match="does not support streaming"):
         StreamingSession(spec, {}, None)
+
+
+def test_export_artifact_end_to_end(tmp_path):
+    """Export call stack (SURVEY §3.1): checkpoint → fail-closed import →
+    artifact + import report → inference smoke test."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_importers import _gtcrn_state_dict
+
+    from audiojax.runtime.export import export_artifact
+
+    report = export_artifact("gtcrn", _gtcrn_state_dict(), tmp_path / "art")
+    assert report["smoke"]["outputs"] == 1
+    assert report["smoke"]["out_samples"] > 0
+    imp = json.loads((tmp_path / "art" / "import_report.json").read_text())
+    assert imp["unconsumed"] == []
+    # the exported artifact serves through the CLI
+    from audiojax.runtime.cli import main as cli_main
+
+    rng = np.random.default_rng(2)
+    inp = write_wav(tmp_path / "noisy.wav", (rng.standard_normal(16000) * 6000).astype(np.int16), 16000)
+    rc = cli_main(["--model", "gtcrn", "--artifact", str(tmp_path / "art"),
+                   "--input", str(inp), "--output", str(tmp_path / "clean.wav")])
+    assert rc == 0
