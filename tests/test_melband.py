@@ -181,3 +181,21 @@ def test_import_melband_stereo_to_mono_fold():
     expect = halves.reshape(2, -1, 2, 2).mean(axis=2).reshape(2, -1).reshape(-1)
     g_mo = h @ params["me_out"][b]["w"] + params["me_out"][b]["b"]
     np.testing.assert_allclose(g_mo, expect, atol=1e-5)
+
+
+def test_import_melband_stereo_direct():
+    """A stereo checkpoint imports 1:1 for a stereo (channels=2) config —
+    no L/R folding."""
+    from audiojax.importers.melband import import_melband
+
+    stereo = _tiny(ch=2)
+    _, ws, _ = band_layout(stereo)
+    sd = _upstream_sd(stereo, ws)
+    params = import_melband(sd, stereo)
+    ref = init_melband(jax.random.PRNGKey(0), stereo)
+    assert jax.tree.structure(ref) == jax.tree.structure(params)
+
+    audio = (np.random.default_rng(3).standard_normal((1, 2, 4410)) * 8000).astype(np.int16)
+    out = melband_forward(jax.tree.map(jnp.asarray, params), jnp.asarray(audio), stereo)
+    assert out.shape == audio.shape
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
