@@ -40,13 +40,14 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
 
     out_dir = Path(out_dir)
     kw = dict(import_kwargs or {})
-    try:
-        params = import_checkpoint(model_name, ckpt,
-                                   report_path=out_dir / "import_report.json",
-                                   cfg=cfg, **kw)
-    except TypeError:  # importer without a cfg parameter
-        params = import_checkpoint(model_name, ckpt,
-                                   report_path=out_dir / "import_report.json", **kw)
+    import inspect
+
+    from ..importers import _IMPORTERS
+
+    if "cfg" in inspect.signature(_IMPORTERS[model_name]).parameters:
+        kw.setdefault("cfg", cfg)
+    params = import_checkpoint(model_name, ckpt,
+                               report_path=out_dir / "import_report.json", **kw)
 
     manifest = spec.make_manifest(cfg)
     save_artifact(out_dir, params, manifest)
