@@ -39,27 +39,39 @@ class SdaecConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0
+    center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
     def stft(self) -> StftConfig:
-        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode="constant")
+        return StftConfig(self.n_fft, self.hop, window=self.window,
+                          pad_mode="constant", center=self.center)
 
     @property
     def f_bins(self) -> int:
         return self.n_fft // 2 + 1  # 160
 
 
-def alpha_align(p, mix_power, far_power, k: int):
+def alpha_align(p, mix_power, far_power, k: int, cache=None, *, return_cache: bool = False):
     """Fused AlphaPredictor: causal conv over [mix_power, far_power] frames
-    (Export_SDAEC.py:371-380). powers (B, T) each → |alpha| (B, T)."""
+    (Export_SDAEC.py:371-380). powers (B, T) each → |alpha| (B, T).
+
+    ``cache`` carries the previous (k−1) power pairs across streaming chunks
+    (zero history ≡ the offline left pad)."""
     feats = jnp.stack([mix_power, far_power], axis=-1)  # (B, T, 2)
-    feats = jnp.pad(feats, [(0, 0), (k - 1, 0), (0, 0)])
-    a = core.conv1d(p, feats)  # kernel (k, 2, 1)
-    return jnp.abs(a[..., 0])
+    if cache is None:
+        cache = jnp.zeros((feats.shape[0], k - 1, 2), feats.dtype)
+    full = jnp.concatenate([cache, feats], axis=1)
+    a = core.conv1d(p, full)  # kernel (k, 2, 1), valid over T outputs
+    alpha = jnp.abs(a[..., 0])
+    return (alpha, full[:, -(k - 1):]) if return_cache else alpha
 
 
-def iccrn_net(p, x, cfg: SdaecConfig):
-    """(B, T, 160, 4) [mix_re, mix_im, far_re, far_im] → (B, T, 320) packed."""
+def iccrn_net(p, x, cfg: SdaecConfig, state=None):
+    """(B, T, 160, 4) [mix_re, mix_im, far_re, far_im] → (B, T, 320) packed.
+
+    All time recurrence lives in the two CH_LSTM_T stacks; ``state``
+    (from :func:`sdaec_stream_init`) carries their (h, c) pairs across
+    streaming chunks and returns ``(packed, new_state)``."""
     e0 = ch_lstm_f(p["in_lstm"], x)
     e0 = core.dense(p["in_conv"], jnp.concatenate([e0, x], axis=-1))
     enc = [e0]
@@ -67,13 +79,18 @@ def iccrn_net(p, x, cfg: SdaecConfig):
     for i in range(5):
         h = cfb(p[f"enc{i}"], h, LN_EPS)
         enc.append(h)
-    mid = ch_lstm_t(p["mid_lstm"], iccrn_layer_norm(p["mid_ln"], h, LN_EPS))
+    mid, mid_state = ch_lstm_t(p["mid_lstm"], iccrn_layer_norm(p["mid_ln"], h, LN_EPS),
+                               state=None if state is None else state["mid"],
+                               return_state=True)
     h = cfb(p["dec0"], enc[5] * mid, LN_EPS)
     for i in range(1, 5):
         h = cfb(p[f"dec{i}"], jnp.concatenate([enc[5 - i], h], axis=-1), LN_EPS)
-    d0 = ch_lstm_t(p["out_lstm"], jnp.concatenate([e0, h], axis=-1))
+    d0, out_state = ch_lstm_t(p["out_lstm"], jnp.concatenate([e0, h], axis=-1),
+                              state=None if state is None else state["out"],
+                              return_state=True)
     out = core.dense(p["out_conv"], jnp.concatenate([d0, h], axis=-1))  # (B, T, 160, 2)
-    return jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)  # (B, T, 320)
+    packed = jnp.concatenate([out[..., 0], out[..., 1]], axis=-1)  # (B, T, 320)
+    return packed if state is None else (packed, {"mid": mid_state, "out": out_state})
 
 
 def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
@@ -116,6 +133,80 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
     return pcm_out(y)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (state-carry echo cancellation: the SURVEY.md §5 "north star" —
+# SDAEC is causal in time: freq-axis LSTMs run per frame, the two time-LSTM
+# stacks and the alpha conv carry explicit state)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def sdaec_stream_init(cfg: SdaecConfig = SdaecConfig(), batch: int = 1):
+    carry = cfg.n_fft - cfg.hop
+    c = cfg.channels
+    z = lambda h: (jnp.zeros((batch * cfg.f_bins, h), jnp.float32),
+                   jnp.zeros((batch * cfg.f_bins, h), jnp.float32))
+    return {
+        "near_tail": jnp.zeros((batch, carry), jnp.float32),
+        "far_tail": jnp.zeros((batch, carry), jnp.float32),
+        "alpha": jnp.zeros((batch, cfg.alpha_k - 1, 2), jnp.float32),
+        "net": {"mid": [z(2 * c), z(2 * c)], "out": [z(c)]},
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def sdaec_stream_step(params, state, near_chunk, far_chunk, cfg: SdaecConfig = SdaecConfig()):
+    """One streaming AEC step: int16 chunks (B, m·hop) → (state, int16 out).
+
+    Semantics: processes the inputs as if (n_fft − hop) zeros were prepended,
+    with snip-edges framing — matches the offline ``center=False`` path on the
+    zero-prepended pair to within f32 reassociation, delayed by (n_fft − hop)
+    samples.  No DC removal (the offline path removes the clip-global mean,
+    which a live stream cannot know).
+    """
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    frame_cfg = dataclasses.replace(cfg.stft, center=False)
+
+    near = pcm_in(near_chunk)
+    far = pcm_in(far_chunk)
+    buf_n = jnp.concatenate([state["near_tail"], near], axis=-1)
+    buf_f = jnp.concatenate([state["far_tail"], far], axis=-1)
+
+    mix = stft_packed(buf_n, frame_cfg)  # (B, m, 2F)
+    fspec = stft_packed(buf_f, frame_cfg)
+    mix_power = jnp.sum(mix * mix, axis=-1)
+    far_power = jnp.sum(fspec * fspec, axis=-1)
+    alpha, alpha_cache = alpha_align(params["alpha"], mix_power, far_power,
+                                     cfg.alpha_k, state["alpha"], return_cache=True)
+    fspec = fspec * alpha[..., None]
+
+    fb = cfg.f_bins
+    feats = jnp.stack([mix[..., :fb], mix[..., fb:], fspec[..., :fb], fspec[..., fb:]], axis=-1)
+    packed, net_state = iccrn_net(params, feats, cfg, state=state["net"])
+
+    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)  # (B, m·hop + n_fft − hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = near_chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "near_tail": buf_n[:, -carry:],
+        "far_tail": buf_f[:, -carry:],
+        "alpha": alpha_cache,
+        "net": net_state,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
 
 
 def init_sdaec(key, cfg: SdaecConfig = SdaecConfig()):

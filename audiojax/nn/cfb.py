@@ -62,19 +62,24 @@ def ch_lstm_f(p, x, *, with_linear: bool = True):
     return y.reshape(b, t, f, -1)
 
 
-def ch_lstm_t(p, x, *, with_linear: bool = True):
+def ch_lstm_t(p, x, *, with_linear: bool = True, state=None, return_state: bool = False):
     """Unidirectional (optionally stacked) LSTM over the time axis.
 
     x (B, T, F, C) → (B, T, F, out).  ``p['layers']`` is a list of LSTM params
     (the mid bottleneck uses num_layers=2, Export_SDAEC.py:195-197).
+    ``state``: per-layer (h, c) pairs, each (B·F, hidden) — carries the time
+    recurrence across streaming chunks.
     """
     b, t, f, c = x.shape
     seq = jnp.swapaxes(x, 1, 2).reshape(b * f, t, c)
-    for lp in p["layers"]:
-        seq = lstm(lp, seq)
+    new_state = []
+    for i, lp in enumerate(p["layers"]):
+        seq, last = lstm(lp, seq, None if state is None else state[i], return_state=True)
+        new_state.append(last)
     if with_linear:
         seq = core.dense(p["linear"], seq)
-    return jnp.swapaxes(seq.reshape(b, f, t, -1), 1, 2)
+    out = jnp.swapaxes(seq.reshape(b, f, t, -1), 1, 2)
+    return (out, new_state) if return_state else out
 
 
 @lru_cache(maxsize=None)

@@ -236,6 +236,16 @@ def _aec319_manifest(name, family, cfg, extra):
     )
 
 
+def _sdaec_stream(cfg):
+    from functools import partial
+
+    from ..models.sdaec import sdaec_stream_init, sdaec_stream_step
+
+    return (partial(sdaec_stream_init, cfg),
+            partial(sdaec_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_sdaec():
     from ..models.sdaec import SdaecConfig, init_sdaec, make_sdaec
 
@@ -249,6 +259,7 @@ def _register_sdaec():
             make_manifest=lambda cfg: _aec319_manifest(
                 "sdaec", "sdaec", cfg, {"alpha_k": cfg.alpha_k}
             ),
+            make_stream=_sdaec_stream,
         )
     )
 

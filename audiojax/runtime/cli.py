@@ -88,9 +88,10 @@ def main(argv=None):
                   file=sys.stderr)
             return 2
         ss = StreamingSession(spec, params, cfg, block_hops=args.block_hops)
-        mono = to_mono(audios[0]) if audios[0].ndim > 1 else audios[0]
+        monos = [to_mono(a) if a.ndim > 1 else a for a in audios]
+        n = min(m.shape[-1] for m in monos)
         t0 = time.perf_counter()
-        pieces = [ss.push(mono)]
+        pieces = [ss.push(*[m[..., :n] for m in monos])]
         pieces.append(ss.flush())
         elapsed = time.perf_counter() - t0
         out = np.concatenate(pieces)

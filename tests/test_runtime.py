@@ -324,3 +324,27 @@ def test_export_artifact_end_to_end(tmp_path):
     rc = cli_main(["--model", "gtcrn", "--artifact", str(tmp_path / "art"),
                    "--input", str(inp), "--output", str(tmp_path / "clean.wav")])
     assert rc == 0
+
+
+def test_streaming_session_two_input_aec():
+    """SDAEC streams through the session with (near, far) chunk pairs."""
+    from audiojax.runtime import StreamingSession
+
+    spec = registry.get("sdaec")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    total = 12 * cfg.hop
+    near = (rng.standard_normal(total) * 6000).astype(np.int16)
+    far = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    sess = StreamingSession(spec, params, cfg, jit=False)
+    parts = [sess.push(near[:700], far[:700]), sess.push(near[700:], far[700:]), sess.flush()]
+    out = np.concatenate(parts)
+    assert out.shape == (total,)
+    assert np.isfinite(out.astype(np.float64)).all()
+
+    with pytest.raises(ValueError, match="expects 2 chunk"):
+        sess.push(near[:100])
+    with pytest.raises(ValueError, match="equal length"):
+        sess.push(near[:100], far[:99])

@@ -99,3 +99,44 @@ def test_deep_echo_forward_contract():
     out = deep_echo_forward(params, near, far, cfg)
     assert out.shape == (1, 6400) and out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+# ── streaming AEC (state-carry; SURVEY.md §5 north star) ──
+
+
+def _zero_mean_int16(rng, n, scale=6000):
+    x = rng.standard_normal(n) * scale
+    x = np.round(x - x.mean()).astype(np.int16)
+    x[0] -= np.int16(x.sum())
+    return x
+
+
+def test_sdaec_streaming_exact_vs_offline():
+    """SDAEC's constant center pad equals the stream's zero prefix, so the
+    stream matches the DEFAULT offline path exactly (≤1 LSB) at a
+    (n_fft − hop)-sample delay — all time state (two LSTM stacks, alpha power
+    cache, framing + OLA tails) is carried."""
+    from audiojax.models.sdaec import (SdaecConfig, init_sdaec, sdaec_forward,
+                                       sdaec_stream_init, sdaec_stream_step)
+
+    cfg = SdaecConfig()
+    params = init_sdaec(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    total = 16 * cfg.hop
+    near = _zero_mean_int16(rng, total)
+    far = _zero_mean_int16(rng, total)
+
+    offline = np.asarray(sdaec_forward(params, jnp.asarray(near[None]), jnp.asarray(far[None]), cfg))[0]
+
+    state = sdaec_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = sdaec_stream_step(params, state, jnp.asarray(near[None, s : s + 4 * cfg.hop]),
+                                       jnp.asarray(far[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = cfg.n_fft - cfg.hop  # 159
+    lo, hi = cfg.n_fft, total - cfg.n_fft - delay
+    np.testing.assert_allclose(offline[lo:hi].astype(np.int32),
+                               streamed[lo + delay : hi + delay].astype(np.int32), atol=1)
