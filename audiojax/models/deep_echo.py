@@ -34,22 +34,29 @@ class DeepEchoConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0
+    center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
     def stft(self) -> StftConfig:
-        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode="constant")
+        return StftConfig(self.n_fft, self.hop, window=self.window,
+                          pad_mode="constant", center=self.center)
 
     @property
     def f_bins(self) -> int:
         return self.n_fft // 2 + 1
 
 
-def apply_echo_path(far, path, order: int):
+def apply_echo_path(far, path, order: int, history=None):
     """echo = Σ_l path_l · far delayed by (order−1−l) frames (complex).
 
-    far: (B, T, F, 2); path: (B, T, F, 2, order) → echo (B, T, F, 2)."""
+    far: (B, T, F, 2); path: (B, T, F, 2, order) → echo (B, T, F, 2).
+    ``history``: previous (order−1) far frames for streaming (zeros ≡ the
+    offline left pad)."""
     t = far.shape[1]
-    padded = jnp.pad(far, [(0, 0), (order - 1, 0), (0, 0), (0, 0)])
+    if history is None:
+        padded = jnp.pad(far, [(0, 0), (order - 1, 0), (0, 0), (0, 0)])
+    else:
+        padded = jnp.concatenate([history, far], axis=1)
     delayed = jnp.stack([padded[:, l : l + t] for l in range(order)], axis=-1)  # (B,T,F,2,L)
     dr, di = delayed[..., 0, :], delayed[..., 1, :]
     pr, pi = path[..., 0, :], path[..., 1, :]
@@ -58,21 +65,35 @@ def apply_echo_path(far, path, order: int):
     return jnp.stack([echo_re, echo_im], axis=-1)
 
 
-def deep_echo_net(p, mix, far, cfg: DeepEchoConfig):
-    """mix/far (B, T, F, 2) complex-last → enhanced packed (B, T, 2F)."""
+def deep_echo_net(p, mix, far, cfg: DeepEchoConfig, state=None):
+    """mix/far (B, T, F, 2) complex-last → enhanced packed (B, T, 2F).
+
+    ``state`` (from :func:`deep_echo_stream_init`) carries the two time-LSTM
+    stacks and the far-spectrum delay-bank history across streaming chunks."""
     # checkpoint channel order: [mix_re, far_re, mix_im, far_im]
     # (Export_Deep_Echo.py:418-421)
     x = jnp.stack([mix[..., 0], far[..., 0], mix[..., 1], far[..., 1]], axis=-1)
     e0 = ch_lstm_f(p["in_lstm"], x)
     e0 = core.dense(p["in_conv"], jnp.concatenate([e0, x], axis=-1))
     e1 = cfb(p["enc"], e0, LN_EPS)
-    mid = ch_lstm_t(p["mid_lstm"], iccrn_layer_norm(p["mid_ln"], e1, LN_EPS))
+    mid, mid_state = ch_lstm_t(p["mid_lstm"], iccrn_layer_norm(p["mid_ln"], e1, LN_EPS),
+                               state=None if state is None else state["mid"],
+                               return_state=True)
     d1 = cfb(p["dec"], e1 * mid, LN_EPS)
-    d0 = ch_lstm_t(p["out_lstm"], jnp.concatenate([e0, d1], axis=-1))
+    d0, out_state = ch_lstm_t(p["out_lstm"], jnp.concatenate([e0, d1], axis=-1),
+                              state=None if state is None else state["out"],
+                              return_state=True)
     out = core.dense(p["out_conv"], jnp.concatenate([d0, d1], axis=-1))  # (B,T,F,2*order)
     path = out.reshape(*out.shape[:-1], 2, cfg.echo_order)
-    enhanced = mix - apply_echo_path(far, path, cfg.echo_order)
-    return jnp.concatenate([enhanced[..., 0], enhanced[..., 1]], axis=-1)
+    hist = None if state is None else state["far_hist"]
+    enhanced = mix - apply_echo_path(far, path, cfg.echo_order, history=hist)
+    packed = jnp.concatenate([enhanced[..., 0], enhanced[..., 1]], axis=-1)
+    if state is None:
+        return packed
+    far_full = far if hist is None else jnp.concatenate([hist, far], axis=1)
+    new_state = {"mid": mid_state, "out": out_state,
+                 "far_hist": far_full[:, -(cfg.echo_order - 1):]}
+    return packed, new_state
 
 
 def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoConfig()):
@@ -107,6 +128,72 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
     return pcm_out(y)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (state-carry AEC; same recipe as SDAEC plus the far-spectrum
+# delay-bank history for the order-10 echo-path filter)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def deep_echo_stream_init(cfg: DeepEchoConfig = DeepEchoConfig(), batch: int = 1):
+    carry = cfg.n_fft - cfg.hop
+    c = cfg.channels
+    z = lambda h: (jnp.zeros((batch * cfg.f_bins, h), jnp.float32),
+                   jnp.zeros((batch * cfg.f_bins, h), jnp.float32))
+    return {
+        "near_tail": jnp.zeros((batch, carry), jnp.float32),
+        "far_tail": jnp.zeros((batch, carry), jnp.float32),
+        "net": {
+            "mid": [z(2 * c), z(2 * c)],
+            "out": [z(c)],
+            "far_hist": jnp.zeros((batch, cfg.echo_order - 1, cfg.f_bins, 2), jnp.float32),
+        },
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def deep_echo_stream_step(params, state, near_chunk, far_chunk,
+                          cfg: DeepEchoConfig = DeepEchoConfig()):
+    """One streaming AEC step: int16 chunks (B, m·hop) → (state, int16 out).
+
+    Like SDAEC, the constant center pad coincides with the streaming zero
+    prefix, so the stream matches the offline path exactly at a
+    (n_fft − hop)-sample delay (no DC removal in the stream)."""
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    frame_cfg = dataclasses.replace(cfg.stft, center=False)
+
+    buf_n = jnp.concatenate([state["near_tail"], pcm_in(near_chunk)], axis=-1)
+    buf_f = jnp.concatenate([state["far_tail"], pcm_in(far_chunk)], axis=-1)
+
+    fb = cfg.f_bins
+    to_cl = lambda s: jnp.stack([s[..., :fb], s[..., fb:]], axis=-1)
+    mix = to_cl(stft_packed(buf_n, frame_cfg))
+    far = to_cl(stft_packed(buf_f, frame_cfg))
+
+    packed, net_state = deep_echo_net(params, mix, far, cfg, state=state["net"])
+
+    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = near_chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "near_tail": buf_n[:, -carry:],
+        "far_tail": buf_f[:, -carry:],
+        "net": net_state,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
 
 
 def init_deep_echo(key, cfg: DeepEchoConfig = DeepEchoConfig()):

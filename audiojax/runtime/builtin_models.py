@@ -264,6 +264,16 @@ def _register_sdaec():
     )
 
 
+def _deep_echo_stream(cfg):
+    from functools import partial
+
+    from ..models.deep_echo import deep_echo_stream_init, deep_echo_stream_step
+
+    return (partial(deep_echo_stream_init, cfg),
+            partial(deep_echo_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_deep_echo():
     from ..models.deep_echo import DeepEchoConfig, init_deep_echo, make_deep_echo
 
@@ -277,6 +287,7 @@ def _register_deep_echo():
             make_manifest=lambda cfg: _aec319_manifest(
                 "deep_echo", "deep-echo", cfg, {"echo_order": cfg.echo_order}
             ),
+            make_stream=_deep_echo_stream,
         )
     )
 

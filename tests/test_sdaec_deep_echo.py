@@ -140,3 +140,31 @@ def test_sdaec_streaming_exact_vs_offline():
     lo, hi = cfg.n_fft, total - cfg.n_fft - delay
     np.testing.assert_allclose(offline[lo:hi].astype(np.int32),
                                streamed[lo + delay : hi + delay].astype(np.int32), atol=1)
+
+
+def test_deep_echo_streaming_exact_vs_offline():
+    from audiojax.models.deep_echo import (DeepEchoConfig, deep_echo_forward,
+                                           deep_echo_stream_init, deep_echo_stream_step,
+                                           init_deep_echo)
+
+    cfg = DeepEchoConfig()
+    params = init_deep_echo(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    total = 16 * cfg.hop
+    near = _zero_mean_int16(rng, total)
+    far = _zero_mean_int16(rng, total)
+
+    offline = np.asarray(deep_echo_forward(params, jnp.asarray(near[None]), jnp.asarray(far[None]), cfg))[0]
+
+    state = deep_echo_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = deep_echo_stream_step(params, state, jnp.asarray(near[None, s : s + 4 * cfg.hop]),
+                                           jnp.asarray(far[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = cfg.n_fft - cfg.hop
+    lo, hi = cfg.n_fft, total - cfg.n_fft - delay
+    np.testing.assert_allclose(offline[lo:hi].astype(np.int32),
+                               streamed[lo + delay : hi + delay].astype(np.int32), atol=1)
