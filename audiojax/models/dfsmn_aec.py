@@ -117,6 +117,122 @@ def dfsmn_aec_forward(params, near_end, far_end, cfg: DfsmnAecConfig = DfsmnAecC
     return (out, vad) if cfg.output_vad else out
 
 
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (the full cascade with state carry: backend stream → FIFO
+# re-alignment to one stage-2 hop → streaming DFSMN mask net)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def _stream_backend(cfg: DfsmnAecConfig):
+    if cfg.backend == "sdaec":
+        from .sdaec import sdaec_stream_init, sdaec_stream_step
+
+        bcfg = SdaecConfig()
+        return bcfg, sdaec_stream_init, sdaec_stream_step, bcfg.n_fft - bcfg.hop
+    if cfg.backend == "deep_echo":
+        from .deep_echo import deep_echo_stream_init, deep_echo_stream_step
+
+        bcfg = DeepEchoConfig()
+        return bcfg, deep_echo_stream_init, deep_echo_stream_step, bcfg.n_fft - bcfg.hop
+    raise ValueError(f"backend {cfg.backend!r} has no streaming path (sdaec/deep_echo do)")
+
+
+def dfsmn_aec_stream_init(cfg: DfsmnAecConfig = DfsmnAecConfig(), batch: int = 1):
+    """State: backend stream state, re-alignment FIFOs (the backend's
+    159-sample delay is padded up to one full stage-2 hop so stage-2 frames
+    stay hop-aligned with the offline path), stage-2 framing tails, FSMN
+    memories, and the synthesis OLA tail."""
+    bcfg, b_init, _, b_delay = _stream_backend(cfg)
+    pad_to_hop = cfg.hop - b_delay  # extra temp buffering (e.g. 320-159=161)
+    carry2 = cfg.frame_len - cfg.hop
+    return {
+        "backend": b_init(bcfg, batch),
+        "temp_fifo": jnp.zeros((batch, pad_to_hop), jnp.int16),
+        "near_fifo": jnp.zeros((batch, cfg.hop), jnp.int16),
+        "near_tail": jnp.zeros((batch, carry2), jnp.float32),
+        "temp_tail": jnp.zeros((batch, carry2), jnp.float32),
+        "fsmn": [jnp.zeros((batch, cfg.lorder - 1, cfg.hidden), jnp.float32)
+                 for _ in range(cfg.depth)],
+        "ola_tail": jnp.zeros((batch, carry2), jnp.float32),
+    }
+
+
+def dfsmn_aec_stream_step(params, state, near_chunk, far_chunk,
+                          cfg: DfsmnAecConfig = DfsmnAecConfig()):
+    """One cascade step: int16 chunks (B, m·hop) → (state, int16 out[, vad]).
+
+    Total delay vs the offline cascade = 2·hop samples (one hop of backend
+    re-alignment + the stage-2 zero-prefix); interior samples match the
+    offline path past the stage-2 FSMN receptive field (the backend stage is
+    exact, see test_sdaec_deep_echo)."""
+    assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    bcfg, _, b_step, _ = _stream_backend(cfg)
+    m = near_chunk.shape[-1]
+
+    bstate, temp_raw = b_step(params["backend"], state["backend"], near_chunk, far_chunk, bcfg)
+
+    # re-align: temp is 159 samples behind the input; buffer it (and near) so
+    # both streams are delayed by exactly one stage-2 hop
+    temp_buf = jnp.concatenate([state["temp_fifo"], temp_raw], axis=-1)
+    near_buf = jnp.concatenate([state["near_fifo"], near_chunk], axis=-1)
+    temp_i16, temp_fifo = temp_buf[:, :m], temp_buf[:, m:]
+    near_i16, near_fifo = near_buf[:, :m], near_buf[:, m:]
+
+    near = pcm_in(near_i16)
+    temp = pcm_in(temp_i16)
+    buf_n = jnp.concatenate([state["near_tail"], near], axis=-1)
+    buf_t = jnp.concatenate([state["temp_tail"], temp], axis=-1)
+    echo = buf_n - cfg.echo_factor * buf_t
+
+    feats = []
+    for sig in (buf_n, buf_t, echo):
+        feats.append(
+            log_mel_fbank(sig, frame_len=cfg.frame_len, hop=cfg.hop, nfft=cfg.kaldi_nfft,
+                          n_mels=cfg.n_mels, fs=cfg.sample_rate, preemph=cfg.preemph,
+                          power_scale=1.0 / (INV_INT16 * INV_INT16))
+        )
+    feat = jnp.concatenate(feats, axis=-1)
+
+    vad = None
+    if cfg.output_vad:
+        mask, fsmn_state, trunk = dfsmn_mask_net(params["mask_net"], feat, state["fsmn"],
+                                                 return_trunk=True)
+        vad = jax.nn.sigmoid(core.dense(params["vad_head"], trunk))[..., 0]
+    else:
+        mask, fsmn_state = dfsmn_mask_net(params["mask_net"], feat, state["fsmn"])
+
+    frames = frame_signal(buf_t, cfg.mask_cfg)
+    basis = jnp.asarray(_stft_basis_np(cfg.mask_cfg))
+    spec = jnp.einsum("...tn,nf->...tf", frames, basis,
+                      preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    masked = spec * jnp.concatenate([mask, mask], axis=-1)
+
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    ibasis = jnp.asarray(_istft_basis_np(cfg.mask_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", masked, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)
+
+    carry2 = cfg.frame_len - cfg.hop
+    raw = raw.at[:, :carry2].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(cfg.mask_cfg)), m // cfg.hop)
+    out = raw[:, :m] * divisor
+
+    new_state = {
+        "backend": bstate,
+        "temp_fifo": temp_fifo,
+        "near_fifo": near_fifo,
+        "near_tail": buf_n[:, -carry2:],
+        "temp_tail": buf_t[:, -carry2:],
+        "fsmn": fsmn_state,
+        "ola_tail": raw[:, m:],
+    }
+    result = pcm_out(out)
+    return (new_state, (result, vad)) if cfg.output_vad else (new_state, result)
+
+
 def init_dfsmn_aec(key, cfg: DfsmnAecConfig = DfsmnAecConfig()):
     from .dfsmn import DfsmnConfig, init_dfsmn
 

@@ -596,6 +596,19 @@ def _dfsmn_aec_manifest(cfg):
     )
 
 
+def _dfsmn_aec_stream(cfg):
+    from functools import partial
+
+    from ..models.dfsmn_aec import dfsmn_aec_stream_init, dfsmn_aec_stream_step
+
+    if cfg.output_vad or cfg.backend not in ("sdaec", "deep_echo"):
+        raise ValueError("streaming DFSMN-AEC serving needs a streamable backend "
+                         "and output_vad=False (use the model API directly for VAD)")
+    return (partial(dfsmn_aec_stream_init, cfg),
+            partial(dfsmn_aec_stream_step, cfg=cfg),
+            2 * cfg.hop)
+
+
 def _register_dfsmn_aec():
     from ..models.dfsmn_aec import DfsmnAecConfig, init_dfsmn_aec, make_dfsmn_aec
 
@@ -607,6 +620,7 @@ def _register_dfsmn_aec():
             init_params=init_dfsmn_aec,
             make_forward=make_dfsmn_aec,
             make_manifest=_dfsmn_aec_manifest,
+            make_stream=_dfsmn_aec_stream,
         )
     )
 

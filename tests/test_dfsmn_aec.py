@@ -40,3 +40,62 @@ def test_vad_timestamps_bridging():
     s, e = ts[0]
     assert abs(s - 10 * 0.02) < 1e-6
     assert abs(e - 50 * 0.02) < 1e-6
+
+
+def test_dfsmn_aec_streaming_cascade_matches_offline_interior():
+    """Full cascade streaming (backend stream -> hop re-alignment -> streaming
+    mask net): 2*hop total delay, interior <=1 LSB past the stage-2 FSMN
+    receptive field (the backend stage is exact)."""
+    import dataclasses
+
+    from audiojax.models.dfsmn_aec import (dfsmn_aec_stream_init, dfsmn_aec_stream_step)
+
+    cfg = dataclasses.replace(DfsmnAecConfig(), depth=2, hidden=32, lorder=4)
+    params = init_dfsmn_aec(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    total = 32 * cfg.hop
+
+    def zmean(x):
+        x = x - x.mean()
+        x = np.round(x).astype(np.int16)
+        x[0] -= np.int16(x.sum())
+        return x
+
+    near = zmean(rng.standard_normal(total) * 6000)
+    far = zmean(rng.standard_normal(total) * 6000)
+
+    offline = np.asarray(dfsmn_aec_forward(params, jnp.asarray(near[None]), jnp.asarray(far[None]), cfg))[0]
+
+    state = dfsmn_aec_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 2 * cfg.hop):
+        state, out = dfsmn_aec_stream_step(params, state, jnp.asarray(near[None, s : s + 2 * cfg.hop]),
+                                           jnp.asarray(far[None, s : s + 2 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = 2 * cfg.hop
+    rf = 1 + cfg.depth * (cfg.lorder - 1)
+    lo = (rf + 4) * cfg.hop + cfg.frame_len
+    hi = total - cfg.frame_len - delay
+    np.testing.assert_allclose(offline[lo:hi].astype(np.int32),
+                               streamed[lo + delay : hi + delay].astype(np.int32), atol=1)
+
+
+def test_dfsmn_aec_streaming_with_vad():
+    import dataclasses
+
+    from audiojax.models.dfsmn_aec import (dfsmn_aec_stream_init, dfsmn_aec_stream_step)
+
+    cfg = dataclasses.replace(DfsmnAecConfig(), depth=2, hidden=32, lorder=4, output_vad=True)
+    params = init_dfsmn_aec(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(4)
+    near = (rng.standard_normal(4 * cfg.hop) * 5000).astype(np.int16)
+    far = (rng.standard_normal(4 * cfg.hop) * 5000).astype(np.int16)
+
+    state = dfsmn_aec_stream_init(cfg)
+    state, (out, vad) = dfsmn_aec_stream_step(params, state, jnp.asarray(near[None]),
+                                              jnp.asarray(far[None]), cfg)
+    assert out.shape == (1, 4 * cfg.hop)
+    assert vad.shape == (1, 4)  # one probability per emitted frame
+    assert bool(jnp.isfinite(vad).all())
