@@ -45,10 +45,12 @@ class NkfConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0
+    center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
     def stft(self) -> StftConfig:
-        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode="constant")
+        return StftConfig(self.n_fft, self.hop, window=self.window,
+                          pad_mode="constant", center=self.center)
 
     @property
     def f_bins(self) -> int:
@@ -100,13 +102,20 @@ def kg_net(p, x, grus):
     return kg, (h_rr, h_ir, h_ri, h_ii)
 
 
-def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig):
-    """Kalman recurrence over frames: specs are (B, T, F, 2) → echo (B, T, F, 2)."""
+def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig, state=None):
+    """Kalman recurrence over frames: specs are (B, T, F, 2) → echo (B, T, F, 2).
+
+    ``state`` (from :func:`nkf_stream_init`) = (scan carry, ref delay-line
+    history (B, L−1, F, 2)); with it the recurrence continues exactly across
+    streaming chunks and ``(echo, new_state)`` is returned."""
     b, t_frames, f_bins, _ = ref_spec.shape
     filter_l = cfg.filter_order
 
     # delay-line slices: xt[t] = ref[t-L+1 … t]  (zero history)
-    padded = jnp.pad(ref_spec, [(0, 0), (filter_l - 1, 0), (0, 0), (0, 0)])
+    if state is None:
+        padded = jnp.pad(ref_spec, [(0, 0), (filter_l - 1, 0), (0, 0), (0, 0)])
+    else:
+        padded = jnp.concatenate([state[1], ref_spec], axis=1)
     xt_all = jnp.stack([padded[:, k : k + t_frames] for k in range(filter_l)], axis=-2)
     # (B, T, F, L, 2) — scan over T
     xs = (jnp.swapaxes(xt_all, 0, 1), jnp.swapaxes(mic_spec, 0, 1))
@@ -114,7 +123,7 @@ def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig):
     n = b * f_bins
     zeros_h = jnp.zeros((b, f_bins, filter_l, 2), ref_spec.dtype)
     zeros_g = jnp.zeros((n, cfg.rnn_dim), ref_spec.dtype)
-    carry0 = (zeros_h, zeros_h, (zeros_g, zeros_g, zeros_g, zeros_g))
+    carry0 = (zeros_h, zeros_h, (zeros_g, zeros_g, zeros_g, zeros_g)) if state is None else state[0]
 
     def step(carry, frame):
         h_prior, h_post, grus = carry
@@ -129,8 +138,11 @@ def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig):
         echo_t = _cdot(xt, h_post)
         return (h_prior, h_post, grus), echo_t
 
-    _, echo = jax.lax.scan(step, carry0, xs)
-    return jnp.swapaxes(echo, 0, 1)  # (B, T, F, 2)
+    carry_out, echo = jax.lax.scan(step, carry0, xs)
+    echo = jnp.swapaxes(echo, 0, 1)  # (B, T, F, 2)
+    if state is None:
+        return echo
+    return echo, (carry_out, padded[:, -(filter_l - 1):])
 
 
 def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
@@ -165,6 +177,72 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
     return pcm_out(y)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (the Kalman recurrence is already an explicit per-frame state —
+# streaming just carries the scan carry + delay-line history across chunks)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def nkf_stream_init(cfg: NkfConfig = NkfConfig(), batch: int = 1):
+    carry = cfg.n_fft - cfg.hop
+    f, l = cfg.f_bins, cfg.filter_order
+    n = batch * f
+    zeros_h = jnp.zeros((batch, f, l, 2), jnp.float32)
+    zeros_g = jnp.zeros((n, cfg.rnn_dim), jnp.float32)
+    return {
+        "near_tail": jnp.zeros((batch, carry), jnp.float32),
+        "far_tail": jnp.zeros((batch, carry), jnp.float32),
+        "kalman": ((zeros_h, zeros_h, (zeros_g, zeros_g, zeros_g, zeros_g)),
+                   jnp.zeros((batch, l - 1, f, 2), jnp.float32)),
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def nkf_stream_step(params, state, near_chunk, far_chunk, cfg: NkfConfig = NkfConfig()):
+    """One streaming AEC step: int16 chunks (B, m·hop) → (state, int16 out).
+
+    Uniform (near, far) argument order like the other streaming AEC models.
+    Processes as if (n_fft − hop) zeros were prepended with snip-edges
+    framing; the Kalman filter state (h_prior/h_post, the four GRU states,
+    the reference delay line) carries exactly."""
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    frame_cfg = dataclasses.replace(cfg.stft, center=False)
+
+    buf_n = jnp.concatenate([state["near_tail"], pcm_in(near_chunk)], axis=-1)
+    buf_f = jnp.concatenate([state["far_tail"], pcm_in(far_chunk)], axis=-1)
+
+    re_m, im_m = stft(buf_n, frame_cfg)
+    re_f, im_f = stft(buf_f, frame_cfg)
+    mic_spec = jnp.stack([re_m, im_m], axis=-1)
+    ref_spec = jnp.stack([re_f, im_f], axis=-1)
+
+    echo, kalman = nkf_scan(params, ref_spec, mic_spec, cfg, state=state["kalman"])
+    out_sp = mic_spec - echo
+    packed = jnp.concatenate([out_sp[..., 0], out_sp[..., 1]], axis=-1)
+
+    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = near_chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "near_tail": buf_n[:, -carry:],
+        "far_tail": buf_f[:, -carry:],
+        "kalman": kalman,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
 
 
 def init_nkf(key, cfg: NkfConfig = NkfConfig()):

@@ -165,6 +165,16 @@ def _nkf_manifest(cfg):
     )
 
 
+def _nkf_stream(cfg):
+    from functools import partial
+
+    from ..models.nkf_aec import nkf_stream_init, nkf_stream_step
+
+    return (partial(nkf_stream_init, cfg),
+            partial(nkf_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_nkf():
     from ..models.nkf_aec import NkfConfig, init_nkf, make_nkf
 
@@ -176,6 +186,7 @@ def _register_nkf():
             init_params=init_nkf,
             make_forward=make_nkf,
             make_manifest=_nkf_manifest,
+            make_stream=_nkf_stream,
         )
     )
 

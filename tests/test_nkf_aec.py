@@ -81,3 +81,48 @@ def test_forward_contract_and_fold():
     assert out.shape == (1, 10000)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_nkf_streaming_exact_vs_prefixed_offline():
+    """The Kalman scan carry + delay-line history stream exactly: against the
+    offline path on a 1-hop-zero-prefixed pair (whose center pad lines up
+    with the stream's zero prefix on the frame grid), the stream matches
+    with a 2-hop output delay to <=1 LSB."""
+    from audiojax.models.nkf_aec import (NkfConfig, init_nkf, nkf_forward,
+                                         nkf_stream_init, nkf_stream_step)
+
+    cfg = NkfConfig()
+    params = init_nkf(jax.random.PRNGKey(0), cfg)
+    # damp fc_out: random-weight Kalman gains are chaotic and amplify f32
+    # reassociation (same convention as the scan-vs-unrolled test)
+    params["fc_out"]["r"]["w"] = params["fc_out"]["r"]["w"] * 0.05
+    params["fc_out"]["i"]["w"] = params["fc_out"]["i"]["w"] * 0.05
+
+    rng = np.random.default_rng(5)
+    total = 16 * cfg.hop
+
+    def zmean(x):
+        x = x - x.mean()
+        x = np.round(x).astype(np.int16)
+        x[0] -= np.int16(x.sum())
+        return x
+
+    near = zmean(rng.standard_normal(total) * 6000)
+    far = zmean(rng.standard_normal(total) * 6000)
+
+    zp = np.zeros(cfg.hop, np.int16)
+    prefixed = np.asarray(nkf_forward(params, jnp.asarray(np.concatenate([zp, far])[None]),
+                                      jnp.asarray(np.concatenate([zp, near])[None]), cfg))[0]
+
+    state = nkf_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = nkf_stream_step(params, state, jnp.asarray(near[None, s : s + 4 * cfg.hop]),
+                                     jnp.asarray(far[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    delay = 2 * cfg.hop  # streamed[i + 2·hop] == prefixed_offline[i]
+    lo, hi = cfg.n_fft, total - cfg.n_fft - delay
+    np.testing.assert_allclose(prefixed[lo:hi].astype(np.int32),
+                               streamed[lo + delay : hi + delay].astype(np.int32), atol=1)
