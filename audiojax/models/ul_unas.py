@@ -48,10 +48,12 @@ class UlUnasConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0
+    center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
     def stft(self) -> StftConfig:
-        return StftConfig(self.n_fft, self.hop, window=self.window, pad_mode=self.pad_mode)
+        return StftConfig(self.n_fft, self.hop, window=self.window,
+                          pad_mode=self.pad_mode, center=self.center)
 
 
 def affine_prelu(p, x):
@@ -83,55 +85,86 @@ def freq_attention(p, power, ratio: int):
     return y[..., None]
 
 
-def ctfa(p, x, ratio: int):
-    """Causal time-frequency attention (Export_UL_UNAS.py:171-193)."""
+def ctfa(p, x, ratio: int, h=None, *, return_state: bool = False):
+    """Causal time-frequency attention (Export_UL_UNAS.py:171-193).
+    ``h`` carries the temporal GRU state across streaming chunks."""
     power = x * x
     zt = jnp.mean(power, axis=-2)  # (B, T, C)
-    at = jax.nn.sigmoid(core.dense(p["ta_fc"], rnn.gru(p["ta_gru"], zt)))
+    g, h_last = rnn.gru(p["ta_gru"], zt, h, return_state=True)
+    at = jax.nn.sigmoid(core.dense(p["ta_fc"], g))
     af = jax.nn.sigmoid(freq_attention(p["fa"], power, ratio))
-    return at[..., None, :] * x * af
+    y = at[..., None, :] * x * af
+    return (y, h_last) if return_state else y
 
 
-def _causal_conv(p, x, *, kernel, stride_f, groups, deconv):
+def _causal_conv(p, x, *, kernel, stride_f, groups, deconv, cache=None):
+    """Causal time conv/deconv.  ``cache`` ((kt−1) input frames) streams the
+    time context; ``(y, new_cache)`` is returned when it is given."""
     kt, kf = kernel
-    if deconv:
-        y = core.conv2d_transpose(
-            p, x, stride=(1, stride_f), padding=(0, kf // 2), groups=groups
-        )
+    if cache is None:
+        if deconv:
+            y = core.conv2d_transpose(
+                p, x, stride=(1, stride_f), padding=(0, kf // 2), groups=groups
+            )
+        else:
+            y = core.conv2d(
+                p, x, stride=(1, stride_f), padding=(kt - 1, kf // 2), groups=groups
+            )
+        if kt > 1:
+            y = y[:, : -(kt - 1)]
+        return y
+    if kt == 1:
+        new_cache = cache  # empty history
+        xx = x
     else:
-        y = core.conv2d(
-            p, x, stride=(1, stride_f), padding=(kt - 1, kf // 2), groups=groups
-        )
-    if kt > 1:
-        y = y[:, : -(kt - 1)]
-    return y
+        xx = jnp.concatenate([cache, x], axis=1)
+        new_cache = xx[:, -(kt - 1):]
+    if deconv:
+        y = core.conv2d_transpose(p, xx, stride=(1, stride_f), padding=(0, kf // 2),
+                                  groups=groups)
+        if kt > 1:
+            y = y[:, kt - 1 : -(kt - 1)]
+    else:
+        y = core.conv2d(p, xx, stride=(1, stride_f), padding=(0, kf // 2), groups=groups)
+    return y, new_cache
 
 
-def x_conv_block(p, x, spec, cfg, *, deconv=False, last=False):
+def x_conv_block(p, x, spec, cfg, *, deconv=False, last=False, state=None):
     _, _, _, kernel, stride, groups = spec
-    y = _causal_conv(p["conv"], x, kernel=kernel, stride_f=stride, groups=groups, deconv=deconv)
+    if state is None:
+        y = _causal_conv(p["conv"], x, kernel=kernel, stride_f=stride, groups=groups, deconv=deconv)
+    else:
+        y, cache = _causal_conv(p["conv"], x, kernel=kernel, stride_f=stride, groups=groups,
+                                deconv=deconv, cache=state["cache"])
     if not last:
         y = affine_prelu(p["act"], y)
-    y = ctfa(p["ctfa"], y, cfg.fa_ratio)
+    y, ta = ctfa(p["ctfa"], y, cfg.fa_ratio,
+                 None if state is None else state["ta"], return_state=True)
     if groups == 2 and not last:
         y = shuffle_channels(y)
-    return y
+    return y if state is None else (y, {"cache": cache, "ta": ta})
 
 
-def x_dws_block(p, x, spec, cfg, *, deconv=False, last=False):
+def x_dws_block(p, x, spec, cfg, *, deconv=False, last=False, state=None):
     _, _, _, kernel, stride, groups = spec
     out_ch = p["pconv"]["w"].shape[-1]  # decoder blocks differ from the spec
     h = core.conv2d(p["pconv"], x, groups=groups)
     h = affine_prelu(p["pconv_act"], h)
     if groups == 2:
         h = shuffle_channels(h)
-    h = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch, deconv=deconv)
+    if state is None:
+        h = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch, deconv=deconv)
+    else:
+        h, cache = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch,
+                                deconv=deconv, cache=state["cache"])
     if not last:
         h = affine_prelu(p["dconv_act"], h)
-    return ctfa(p["ctfa"], h, cfg.fa_ratio)
+    h, ta = ctfa(p["ctfa"], h, cfg.fa_ratio,
+                 None if state is None else state["ta"], return_state=True)
+    return h if state is None else (h, {"cache": cache, "ta": ta})
 
 
-def x_mb_block(p, x, spec, cfg, *, deconv=False, last=False):
+def x_mb_block(p, x, spec, cfg, *, deconv=False, last=False, state=None):
     in_ch = x.shape[-1]
     _, _, _, kernel, stride, groups = spec
     out_ch = p["pconv1"]["w"].shape[-1]  # decoder blocks differ from the spec
@@ -139,22 +172,28 @@ def x_mb_block(p, x, spec, cfg, *, deconv=False, last=False):
     h = affine_prelu(p["pconv1_act"], h)
     if groups == 2:
         h = shuffle_channels(h)
-    h = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch, deconv=deconv)
+    if state is None:
+        h = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch, deconv=deconv)
+    else:
+        h, cache = _causal_conv(p["dconv"], h, kernel=kernel, stride_f=stride, groups=out_ch,
+                                deconv=deconv, cache=state["cache"])
     h = affine_prelu(p["dconv_act"], h)
     h = core.conv2d(p["pconv2"], h, groups=groups)
-    h = ctfa(p["ctfa"], h, cfg.fa_ratio)
+    h, ta = ctfa(p["ctfa"], h, cfg.fa_ratio,
+                 None if state is None else state["ta"], return_state=True)
     if in_ch == out_ch and stride == 1:
         h = h + x
     if groups == 2 and not last:
         h = shuffle_channels(h)
-    return h
+    return h if state is None else (h, {"cache": cache, "ta": ta})
 
 
 _BLOCK_FNS = (x_conv_block, x_dws_block, x_mb_block)
 
 
-def dpgrnn(p, x, hidden: int):
-    """UL-UNAS dual-path block (fc maps hidden→input, unlike GTCRN's)."""
+def dpgrnn(p, x, hidden: int, state=None, *, return_state: bool = False):
+    """UL-UNAS dual-path block (fc maps hidden→input, unlike GTCRN's).
+    ``state``: inter (time) grouped-GRU hidden (G=2, B·width, C/2)."""
     b, t, w, c = x.shape
     intra = x.reshape(b * t, w, c)
     intra = rnn.grouped_gru_bidir(p["intra_fwd"], p["intra_bwd"], intra, groups=2)
@@ -162,13 +201,18 @@ def dpgrnn(p, x, hidden: int):
     x = x + core.layer_norm(p["intra_ln"], intra, ndims=2, eps=1e-8)
 
     inter = jnp.swapaxes(x, 1, 2).reshape(b * w, t, c)
-    inter = rnn.grouped_gru(p["inter"], inter, groups=2)
+    inter, h_last = rnn.grouped_gru(p["inter"], inter, groups=2, h0=state, return_state=True)
     inter = core.dense(p["inter_fc"], inter).reshape(b, w, t, c)
-    return x + core.layer_norm(p["inter_ln"], jnp.swapaxes(inter, 1, 2), ndims=2, eps=1e-8)
+    out = x + core.layer_norm(p["inter_ln"], jnp.swapaxes(inter, 1, 2), ndims=2, eps=1e-8)
+    return (out, h_last) if return_state else out
 
 
-def ul_unas_net(p, spec_ri, cfg: UlUnasConfig):
-    """(B, T, 2F) packed spectrum → (B, T, 2F) masked spectrum."""
+def ul_unas_net(p, spec_ri, cfg: UlUnasConfig, state=None):
+    """(B, T, 2F) packed spectrum → (B, T, 2F) masked spectrum.
+
+    With ``state`` (from :func:`ul_unas_stream_init`) every temporal
+    dependency — causal conv caches, cTFA GRU states, dual-path inter GRU
+    states — carries across chunks and ``(out, new_state)`` is returned."""
     fb = cfg.stft.f_bins
     re, im = spec_ri[..., :fb], spec_ri[..., fb:]
     power = re * re + im * im
@@ -185,24 +229,45 @@ def ul_unas_net(p, spec_ri, cfg: UlUnasConfig):
                         weight=None if erb_w is None else erb_w["fc"])
 
     specs = list(zip(_TYPES, _CHANNELS, _WIDTHS, _KERNELS, _STRIDES, _GROUPS))
+    ns = {"enc": [], "dec": []} if state is not None else None
     skips = []
     x = feat
     for i, s in enumerate(specs):
-        x = _BLOCK_FNS[s[0]](p[f"enc{i}"], x, s, cfg)
+        if state is None:
+            x = _BLOCK_FNS[s[0]](p[f"enc{i}"], x, s, cfg)
+        else:
+            x, bs = _BLOCK_FNS[s[0]](p[f"enc{i}"], x, s, cfg, state=state["enc"][i])
+            ns["enc"].append(bs)
         skips.append(x)
 
-    x = dpgrnn(p["dp1"], x, _CHANNELS[-1])
-    x = dpgrnn(p["dp2"], x, _CHANNELS[-1])
+    if state is None:
+        x = dpgrnn(p["dp1"], x, _CHANNELS[-1])
+        x = dpgrnn(p["dp2"], x, _CHANNELS[-1])
+    else:
+        x, ns["dp1"] = dpgrnn(p["dp1"], x, _CHANNELS[-1], state["dp1"], return_state=True)
+        x, ns["dp2"] = dpgrnn(p["dp2"], x, _CHANNELS[-1], state["dp2"], return_state=True)
 
     n = len(specs)
     for j, i in enumerate(range(n - 1, 0, -1)):
-        x = _BLOCK_FNS[specs[i][0]](p[f"dec{j}"], x + skips[i], specs[i], cfg, deconv=True)
-    x = _BLOCK_FNS[specs[0][0]](p[f"dec{n-1}"], x + skips[0], specs[0], cfg, deconv=True, last=True)
+        if state is None:
+            x = _BLOCK_FNS[specs[i][0]](p[f"dec{j}"], x + skips[i], specs[i], cfg, deconv=True)
+        else:
+            x, bs = _BLOCK_FNS[specs[i][0]](p[f"dec{j}"], x + skips[i], specs[i], cfg,
+                                            deconv=True, state=state["dec"][j])
+            ns["dec"].append(bs)
+    if state is None:
+        x = _BLOCK_FNS[specs[0][0]](p[f"dec{n-1}"], x + skips[0], specs[0], cfg,
+                                    deconv=True, last=True)
+    else:
+        x, bs = _BLOCK_FNS[specs[0][0]](p[f"dec{n-1}"], x + skips[0], specs[0], cfg,
+                                        deconv=True, last=True, state=state["dec"][n - 1])
+        ns["dec"].append(bs)
     mask = jax.nn.sigmoid(x)  # (B, T, 129, 1)
 
     mask = erb_expand(mask, cfg.n_low, cfg.n_erb, cfg.n_fft,
                       weight=None if erb_w is None else erb_w["ifc"])[..., 0]
-    return spec_ri * jnp.concatenate([mask, mask], axis=-1)
+    out = spec_ri * jnp.concatenate([mask, mask], axis=-1)
+    return out if state is None else (out, ns)
 
 
 def ul_unas_forward(params, audio, cfg: UlUnasConfig = UlUnasConfig()):
@@ -233,6 +298,91 @@ def ul_unas_forward(params, audio, cfg: UlUnasConfig = UlUnasConfig()):
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
     return pcm_out(y)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Streaming (state-carry serving: causal conv caches + cTFA/dual-path GRUs)
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def _stream_plan(cfg: UlUnasConfig):
+    """Per-block (conv-cache shape info, ta width) for enc and dec chains."""
+    specs = list(zip(_TYPES, _CHANNELS, _WIDTHS, _KERNELS, _STRIDES, _GROUPS))
+    enc, dec = [], []
+    width, ch_in = cfg.n_low + cfg.n_erb, 1
+    for btype, ch, w_out, (kt, kf), stride, groups in specs:
+        cache_ch = ch_in if btype == 0 else ch  # XConv caches its input; DWS/MB the post-pconv
+        enc.append((kt, width, cache_ch, ch))
+        width, ch_in = w_out, ch
+    n = len(specs)
+    for j, i in enumerate(range(n - 1, 0, -1)):
+        btype, _, _, (kt, kf), stride, groups = specs[i]
+        out_ch = _CHANNELS[i - 1]
+        cache_ch = ch_in if btype == 0 else out_ch
+        dec.append((kt, width, cache_ch, out_ch))
+        width, ch_in = _WIDTHS[i - 1], out_ch
+    btype, _, _, (kt, kf), stride, groups = specs[0]
+    dec.append((kt, width, ch_in if btype == 0 else 1, 1))
+    return enc, dec
+
+
+def ul_unas_stream_init(cfg: UlUnasConfig = UlUnasConfig(), batch: int = 1):
+    carry = cfg.n_fft - cfg.hop
+    enc_plan, dec_plan = _stream_plan(cfg)
+
+    def block_state(kt, width, cache_ch, out_ch):
+        return {
+            "cache": jnp.zeros((batch, kt - 1, width, cache_ch), jnp.float32),
+            "ta": jnp.zeros((batch, 2 * out_ch), jnp.float32),
+        }
+
+    w, c = _WIDTHS[-1], _CHANNELS[-1]
+    return {
+        "audio_tail": jnp.zeros((batch, carry), jnp.float32),
+        "net": {
+            "enc": [block_state(*pl) for pl in enc_plan],
+            "dec": [block_state(*pl) for pl in dec_plan],
+            "dp1": jnp.zeros((2, batch * w, c // 2), jnp.float32),
+            "dp2": jnp.zeros((2, batch * w, c // 2), jnp.float32),
+        },
+        "ola_tail": jnp.zeros((batch, carry), jnp.float32),
+    }
+
+
+def ul_unas_stream_step(params, state, chunk, cfg: UlUnasConfig = UlUnasConfig()):
+    """One streaming step: int16 chunk (B, k·hop) → (state, int16 out (B, k·hop)).
+
+    Same zero-prepended snip-edges semantics as the GTCRN stream; output is
+    delayed by (n_fft − hop) samples.  (UL-UNAS applies no DC removal, so the
+    stream has no DC divergence from the offline path.)"""
+    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+
+    assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
+    frame_cfg = dataclasses.replace(cfg.stft, center=False)
+
+    x = pcm_in(chunk)
+    buf = jnp.concatenate([state["audio_tail"], x], axis=-1)
+    spec = stft_packed(buf, frame_cfg)
+    out_spec, net_state = ul_unas_net(params, spec, cfg, state=state["net"])
+
+    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
+    out_frames = jnp.einsum("...tf,fn->...tn", out_spec, ibasis,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    raw = overlap_add(out_frames, cfg.hop)
+
+    carry = cfg.n_fft - cfg.hop
+    emit_len = chunk.shape[-1]
+    raw = raw.at[:, :carry].add(state["ola_tail"])
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
+    out = raw[:, :emit_len] * divisor
+
+    new_state = {
+        "audio_tail": buf[:, -carry:],
+        "net": net_state,
+        "ola_tail": raw[:, emit_len:],
+    }
+    return new_state, pcm_out(out)
 
 
 # ─────────────────────────────────────────────────────────────────────────────

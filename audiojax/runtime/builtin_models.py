@@ -211,6 +211,16 @@ def _ul_unas_manifest(cfg):
     )
 
 
+def _ul_unas_stream(cfg):
+    from functools import partial
+
+    from ..models.ul_unas import ul_unas_stream_init, ul_unas_stream_step
+
+    return (partial(ul_unas_stream_init, cfg),
+            partial(ul_unas_stream_step, cfg=cfg),
+            cfg.n_fft - cfg.hop)
+
+
 def _register_ul_unas():
     from ..models.ul_unas import UlUnasConfig, init_ul_unas, make_ul_unas
 
@@ -222,6 +232,7 @@ def _register_ul_unas():
             init_params=init_ul_unas,
             make_forward=make_ul_unas,
             make_manifest=_ul_unas_manifest,
+            make_stream=_ul_unas_stream,
         )
     )
 

@@ -53,3 +53,36 @@ def test_temporal_causality_of_network():
     b = np.asarray(ul_unas_net(params, jnp.asarray(spec2), cfg))
     np.testing.assert_allclose(a[:, :15], b[:, :15], atol=1e-5)
     assert np.abs(a[:, 15:] - b[:, 15:]).max() > 1e-4  # late frames did change
+
+
+def test_ul_unas_streaming_bit_exact_and_interior():
+    """Streaming must be bit-exact against the offline center=False path on
+    the zero-prepended signal, and match the default offline path at a
+    (n_fft − hop)-sample delay once past the GRU transient."""
+    from audiojax.models.ul_unas import (ul_unas_stream_init, ul_unas_stream_step)
+
+    cfg = UlUnasConfig(center=False)
+    params = init_ul_unas(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    total = 16 * cfg.hop
+    audio = (rng.standard_normal(total) * 6000).astype(np.int16)
+
+    carry = cfg.n_fft - cfg.hop
+    padded = np.concatenate([np.zeros(carry, np.int16), audio])
+    offline = np.asarray(ul_unas_forward(params, jnp.asarray(padded[None]), cfg))[0]
+
+    state = ul_unas_stream_init(cfg)
+    outs = []
+    for s in range(0, total, 4 * cfg.hop):
+        state, out = ul_unas_stream_step(params, state, jnp.asarray(audio[None, s : s + 4 * cfg.hop]), cfg)
+        outs.append(np.asarray(out)[0])
+    streamed = np.concatenate(outs)
+
+    np.testing.assert_allclose(streamed[cfg.hop : total].astype(np.int32),
+                               offline[cfg.hop : total].astype(np.int32), atol=1)
+
+    # and vs the default (center=True) offline path, delayed
+    default = np.asarray(ul_unas_forward(params, jnp.asarray(audio[None]), UlUnasConfig()))[0]
+    lo, hi = 6 * cfg.n_fft, total - cfg.n_fft - carry
+    np.testing.assert_allclose(default[lo:hi].astype(np.int32),
+                               streamed[lo + carry : hi + carry].astype(np.int32), atol=2)
