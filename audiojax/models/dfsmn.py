@@ -177,8 +177,6 @@ def dfsmn_stream_step(params, state, chunk, cfg: DfsmnConfig = DfsmnConfig()):
     extra zero-context first frame perturbs the mask only within the FSMN
     receptive field, 1 + depth·(lorder−1) frames (see tests/test_dfsmn.py).
     """
-    import numpy as np
-
     assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     x = pcm_in(chunk)
     buf = jnp.concatenate([state["audio_tail"], x], axis=-1)
