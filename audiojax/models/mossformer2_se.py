@@ -55,6 +55,11 @@ class MossFormer2SeConfig:
     in_sample_rate: int = 48000
     out_sample_rate: int = 48000
     fold_window: int = 0
+    # compute dtype for the MossFormer stack; the Kaldi fbank, mask-STFT and
+    # ISTFT stay float32 (the reference's fp16 plans keep the same islands
+    # full-precision) — attention/FSMN einsums already accumulate in f32 via
+    # preferred_element_type
+    compute_dtype: str = "float32"
 
     @property
     def frame_cfg(self) -> StftConfig:
@@ -83,9 +88,13 @@ def deltas(x):
 
 def mossformer2_se_net(p, fbank, cfg: MossFormer2SeConfig):
     """(B, T, 180) fbank+deltas → (B, T, 961) ReLU mask."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        fbank = fbank.astype(dtype)
     x = group_norm_all(p["in_norm"], fbank)
     x = core.dense(p["encoder"], x)  # 180 → 512
-    pos = sinusoid_positions(x.shape[1], cfg.dim) * p["pos_scale"]
+    pos = sinusoid_positions(x.shape[1], cfg.dim).astype(x.dtype) * p["pos_scale"]
     x = x + pos[None]
 
     h = x
@@ -101,7 +110,7 @@ def mossformer2_se_net(p, fbank, cfg: MossFormer2SeConfig):
     gate = core.dense(p["tail_gate"], x)
     d = cfg.dim
     x = jnp.tanh(gate[..., :d]) * jax.nn.sigmoid(gate[..., d:])
-    return jax.nn.relu(core.dense(p["decoder"], x))  # (B, T, 961)
+    return jax.nn.relu(core.dense(p["decoder"], x)).astype(jnp.float32)  # (B, T, 961)
 
 
 def mossformer2_se_forward(params, audio, cfg: MossFormer2SeConfig = MossFormer2SeConfig()):

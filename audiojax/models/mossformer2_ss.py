@@ -47,6 +47,9 @@ class MossFormer2SsConfig:
     sample_rate: int = 16000
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
+    # compute dtype for the MossFormer stack; RMS normalisation and the
+    # time-domain decoder output stay float32
+    compute_dtype: str = "float32"
 
 
 def norm_audio(x, norm_factor: float, eps: float = 1e-6):
@@ -70,6 +73,10 @@ def norm_audio(x, norm_factor: float, eps: float = 1e-6):
 
 def mossformer2_ss_net(p, audio_normed, cfg: MossFormer2SsConfig):
     """normalised audio (B, L) → separated waves (B, spks, L_out)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        audio_normed = audio_normed.astype(dtype)
     b = audio_normed.shape[0]
     x_enc = jax.nn.relu(
         core.conv1d(p["encoder"], audio_normed[..., None], stride=cfg.enc_stride)
@@ -78,7 +85,7 @@ def mossformer2_ss_net(p, audio_normed, cfg: MossFormer2SsConfig):
 
     h = group_norm_all(p["front_norm"], x_enc)
     h = core.dense(p["front"], h)
-    h = h + sinusoid_positions(n, cfg.dim)[None] * p["pos_scale"]
+    h = h + sinusoid_positions(n, cfg.dim).astype(h.dtype)[None] * p["pos_scale"]
     mdl_input = h
 
     for i in range(cfg.depth):
@@ -100,7 +107,7 @@ def mossformer2_ss_net(p, audio_normed, cfg: MossFormer2SsConfig):
     sep = x_enc[:, :, None, :] * m  # (B, n, spks, dim)
     sep = jnp.moveaxis(sep, 2, 1).reshape(b * cfg.num_spks, n, cfg.dim)
     wav = core.conv1d_transpose(p["decoder"], sep, stride=cfg.enc_stride)  # (B*spks, L', 1)
-    return wav[..., 0].reshape(b, cfg.num_spks, -1)
+    return wav[..., 0].reshape(b, cfg.num_spks, -1).astype(jnp.float32)
 
 
 def mossformer2_ss_forward(params, audio, cfg: MossFormer2SsConfig = MossFormer2SsConfig()):

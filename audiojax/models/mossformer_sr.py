@@ -59,6 +59,9 @@ class MossFormerSrConfig:
     gen_res_dilations: tuple = (1, 3, 5)
     in_sample_rate: int = 16000
     out_sample_rate: int = 48000
+    # compute dtype for the mask net; the sinc upsampler, mel front-end,
+    # HiFi-GAN generator and crossover stay float32 (waveform-domain ops)
+    compute_dtype: str = "float32"
 
     @property
     def mel_cfg(self) -> StftConfig:
@@ -132,9 +135,13 @@ def hifigan_generator(p, mel, cfg: MossFormerSrConfig):
 
 def sr_masknet(p, mel, cfg: MossFormerSrConfig):
     """(B, T, n_mels) log-mel → (B, T, n_mels) enhanced mel for the generator."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        mel = mel.astype(dtype)
     x = group_norm_all(p["front_norm"], mel)
     x = core.dense(p["front"], x)
-    x = x + sinusoid_positions(x.shape[1], cfg.dim)[None] * p["pos_scale"]
+    x = x + sinusoid_positions(x.shape[1], cfg.dim).astype(x.dtype)[None] * p["pos_scale"]
     mdl_input = x
     h = x
     for i in range(cfg.depth):
@@ -151,7 +158,7 @@ def sr_masknet(p, mel, cfg: MossFormerSrConfig):
     gate = core.dense(p["tail_gate"], x)
     d = cfg.dim
     x = jnp.tanh(gate[..., :d]) * jax.nn.sigmoid(gate[..., d:])
-    return jax.nn.relu(core.dense(p["decoder"], x))  # (B, T, n_mels)
+    return jax.nn.relu(core.dense(p["decoder"], x)).astype(jnp.float32)  # (B, T, n_mels)
 
 
 def mossformer_sr_forward(params, audio, cfg: MossFormerSrConfig = MossFormerSrConfig()):

@@ -152,7 +152,9 @@ def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: f
     lin_kv = jnp.einsum("bgjk,bgjv->bkv", lin_k, vug, preferred_element_type=jnp.float32) / t
     lin_out = jnp.einsum("bgik,bkv->bgiv", lin_q, lin_kv, preferred_element_type=jnp.float32)
 
-    att = (quad_out + lin_out).reshape(b, g * group_size, vu2)[:, :t]
+    # einsums accumulate in f32 (preferred_element_type); return to the
+    # compute dtype so bf16 configs stay bf16 through the stack
+    att = (quad_out + lin_out).reshape(b, g * group_size, vu2)[:, :t].astype(x.dtype)
     att_v, att_u = att[..., :vu], att[..., vu:]
     out = (att_u * v) * jax.nn.sigmoid(att_v * u)
 

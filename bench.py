@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BASELINES = {"zipenhancer": 0.32, "gtcrn": 0.0036}
+BASELINES = {"zipenhancer": 0.32, "gtcrn": 0.0036, "mossformer2_se": 0.09}
 
 
 def _bench_model(fn, params, audio, iters: int) -> float:
@@ -63,6 +63,22 @@ def main():
     elapsed_g = _bench_model(gfn, gparams, clip(total_g), iters=30)
     results["gtcrn"] = elapsed_g / (total_g / 16000.0)
 
+    # MossFormer2-SE-48K, bf16 compute (2 s window, the reference geometry)
+    import dataclasses
+
+    from audiojax.models.mossformer2_se import (MossFormer2SeConfig, init_mossformer2_se,
+                                                make_mossformer2_se)
+
+    mcfg = dataclasses.replace(MossFormer2SeConfig(), compute_dtype="bfloat16")
+    mfn = jax.jit(make_mossformer2_se(mcfg))
+    mparams = init_mossformer2_se(jax.random.PRNGKey(0), mcfg)
+    t48 = np.arange(96000) / 48000
+    mclip = jnp.asarray(((0.3 * np.sin(2 * np.pi * 440 * t48)
+                          + 0.05 * rng.standard_normal(96000)) * 20000).astype(np.int16)[None])
+    _bench_model(mfn, mparams, mclip, iters=5)  # extra settle pass (tunnel warmup)
+    elapsed_m = _bench_model(mfn, mparams, mclip, iters=15)
+    results["m2se_bf16"] = elapsed_m / 2.0
+
     # streaming RTF: 64 ms blocks through the state-carry step, steps chained
     # on-device via the carried state (only the final transfer syncs)
     from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
@@ -95,6 +111,9 @@ def main():
                 "gtcrn_rtf": round(results["gtcrn"], 6),
                 "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
                 "gtcrn_stream_rtf_64ms_blocks": round(results["gtcrn_stream"], 6),
+                "mossformer2_se_bf16_rtf": round(results["m2se_bf16"], 6),
+                "mossformer2_se_bf16_vs_baseline": round(
+                    BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
                 "chip": str(jax.devices()[0]),
             }
         )

@@ -91,3 +91,26 @@ def test_mossformer2_se_net_and_forward():
     assert out.shape == (1, 48000)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_mossformer2_se_bf16_close_to_f32():
+    """bf16 compute (f32 fbank/STFT islands) must stay close to f32 — the
+    reference's fp16-plan analog for the 48 kHz MossFormer2."""
+    import dataclasses
+
+    from audiojax.models.mossformer2_se import (MossFormer2SeConfig, init_mossformer2_se,
+                                                mossformer2_se_forward)
+
+    cfg = dataclasses.replace(MossFormer2SeConfig(), dim=32, depth=2, group_size=16,
+                              qk_dim=8, vu_dim=64, fsmn_inner=16, lorder=4,
+                              dw_kernel=5, rot_dim=8)
+    params = init_mossformer2_se(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal(48000) * 6000).astype(np.int16)[None])
+
+    ref = np.asarray(mossformer2_se_forward(params, audio, cfg)).astype(np.float64)
+    bf = np.asarray(mossformer2_se_forward(
+        params, audio, dataclasses.replace(cfg, compute_dtype="bfloat16"))).astype(np.float64)
+
+    err = ref - bf
+    snr = 10 * np.log10(np.sum(ref * ref) / max(np.sum(err * err), 1e-9))
+    assert snr > 20, f"bf16 drifted too far from f32: {snr:.1f} dB"

@@ -50,3 +50,23 @@ def test_silence_maps_to_silence():
     outs = mossformer2_ss_forward(params, mix, cfg)
     for o in outs:
         assert int(jnp.abs(o).max()) == 0  # zero rms_in ⇒ zero restore gain
+
+
+def test_mossformer2_ss_bf16_close_to_f32():
+    import dataclasses
+
+    cfg = dataclasses.replace(MossFormer2SsConfig(), dim=32, depth=2, group_size=16,
+                              qk_dim=8, vu_dim=64, fsmn_inner=16, lorder=4,
+                              dw_kernel=5, rot_dim=8, mem_depth=2)
+    params = init_mossformer2_ss(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal(16000) * 6000).astype(np.int16)[None])
+
+    refs = mossformer2_ss_forward(params, audio, cfg)
+    bfs = mossformer2_ss_forward(params, audio,
+                                 dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    for ref, bf in zip(refs, bfs):
+        a = np.asarray(ref).astype(np.float64)
+        b = np.asarray(bf).astype(np.float64)
+        err = a - b
+        snr = 10 * np.log10(max(np.sum(a * a), 1e-9) / max(np.sum(err * err), 1e-9))
+        assert snr > 15, f"bf16 drifted too far from f32: {snr:.1f} dB"

@@ -62,3 +62,34 @@ def test_forward_contract_3x():
     assert out.shape == (1, 3 * 4096)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_mossformer_sr_bf16_close_to_f32():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        MossFormerSrConfig(), dim=32, depth=1, group_size=16, qk_dim=8, vu_dim=64,
+        fsmn_inner=16, lorder=4, dw_kernel=5, rot_dim=8, n_mels=16,
+        gen_channels=32, gen_up_rates=(4, 4, 4, 4), gen_up_kernels=(8, 8, 8, 8),
+        gen_res_kernels=(3,), gen_res_dilations=(1, 3))
+    params = init_mossformer_sr(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray((np.random.default_rng(0).standard_normal(8192) * 6000).astype(np.int16)[None])
+
+    # compare the enhanced MEL (the mask net's output): after the HiFi-GAN
+    # vocoder the waveform is phase-chaotic, so waveform SNR is meaningless
+    # for dtype comparisons (equally true of the reference's fp16 plan)
+    from audiojax.models.mossformer_sr import sr_masknet
+
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal((1, 48, cfg.n_mels)).astype(np.float32))
+    a = np.asarray(sr_masknet(params, mel, cfg)).astype(np.float64)
+    b = np.asarray(sr_masknet(params, mel,
+                              dataclasses.replace(cfg, compute_dtype="bfloat16"))).astype(np.float64)
+    err = a - b
+    snr = 10 * np.log10(max(np.sum(a * a), 1e-9) / max(np.sum(err * err), 1e-9))
+    assert snr > 25, f"bf16 mask net drifted too far from f32: {snr:.1f} dB"
+
+    # full bf16 pipeline stays finite and produces the right geometry
+    out = mossformer_sr_forward(params, audio,
+                                dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    assert out.shape == (1, 8192 * 3)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
