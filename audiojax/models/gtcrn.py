@@ -248,11 +248,11 @@ def gtcrn_forward(params, audio, cfg: GtcrnConfig = GtcrnConfig()):
     if cfg.fold_window:
         x = fold_windows(x, cfg.fold_window)
 
-    from ..ops.stft_pallas import fast_stft_packed
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
 
     spec = fast_stft_packed(x, cfg.stft)  # Pallas-fused on TPU (hop is 128-aligned)
     enhanced = gtcrn_net(params, spec, cfg)
-    y = istft_packed(enhanced, cfg.stft)
+    y = fast_istft_packed(enhanced, cfg.stft)  # Pallas-fused iDFT + overlap-add
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

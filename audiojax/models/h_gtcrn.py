@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dsp import StftConfig, istft, stft
+from ..dsp import StftConfig
 from ..dsp.pcm import pcm_in, resample_linear
 from ..nn.spatial import auxiva, wpe
 from .gtcrn import GtcrnConfig, gtcrn_backbone, init_gtcrn
@@ -66,7 +66,10 @@ def h_gtcrn_forward(params, audio, cfg: HGtcrnConfig = HGtcrnConfig()):
     if padded != model_len:
         x = jnp.pad(x, [(0, 0), (0, 0), (0, padded - model_len)])
 
-    re, im = stft(x.reshape(b * 2, -1), cfg.stft)  # (2B, T, F)
+    from ..ops.stft_pallas import fast_stft_packed
+
+    packed = fast_stft_packed(x.reshape(b * 2, -1), cfg.stft)  # Pallas-fused on TPU
+    re, im = packed[..., : cfg.stft.f_bins], packed[..., cfg.stft.f_bins :]  # (2B, T, F)
     t, fb = re.shape[1], re.shape[2]
     spec = (re + 1j * im).reshape(b, 2, t, fb)
     spec_cf = jnp.swapaxes(spec, 2, 3)  # (B, 2, F, T)
@@ -97,7 +100,9 @@ def h_gtcrn_forward(params, audio, cfg: HGtcrnConfig = HGtcrnConfig()):
     re0, im0 = spec[:, 0].real, spec[:, 0].imag
     s_re = re0 * m[..., 0] - im0 * m[..., 1]
     s_im = im0 * m[..., 0] + re0 * m[..., 1]
-    y = istft(s_re, s_im, cfg.stft)
+    from ..ops.stft_pallas import fast_istft_packed
+
+    y = fast_istft_packed(jnp.concatenate([s_re, s_im], axis=-1), cfg.stft)
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)

@@ -49,6 +49,10 @@ class MelBandConfig:
     in_sample_rate: int = 44100
     out_sample_rate: int = 44100
     fold_window: int = 0
+    # bf16 transformer compute with an f32 complex-mask/ISTFT island; the
+    # reference even recommends dynamic INT8 for this model (README.md:93), so
+    # bf16 is comfortably inside its quantization tolerance.
+    compute_dtype: str = "float32"
 
     @property
     def stft(self) -> StftConfig:
@@ -97,8 +101,9 @@ def _attention(p, x, cos, sin, cfg: MelBandConfig):
     attn = jax.nn.softmax(
         jnp.einsum("nhik,nhjk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
         axis=-1,
-    )
-    out = jnp.einsum("nhij,nhjv->nhiv", attn, v, preferred_element_type=jnp.float32)
+    ).astype(x.dtype)
+    out = jnp.einsum("nhij,nhjv->nhiv", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     out = jnp.swapaxes(out, 1, 2) * gates[..., None]  # (n, s, h, dh)
     return core.dense(p["to_out"], out.reshape(n, s, h * dh))
 
@@ -113,9 +118,12 @@ def _transformer(p, x, cos, sin, cfg: MelBandConfig):
 def melband_net(p, spec, cfg: MelBandConfig):
     """spec (B, T, F·ch, 2) complex-last interleaved → masked spec same shape."""
     freq_idx, widths, counts = band_layout(cfg)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
     b, t, fc, _ = spec.shape
     sel = spec[:, :, jnp.asarray(freq_idx), :]  # (B, T, S, 2)
-    flat = sel.reshape(b, t, -1)  # (B, T, 2S) band-major [re, im] pairs per bin
+    flat = sel.reshape(b, t, -1).astype(dtype)  # (B, T, 2S) band-major [re, im] pairs
 
     # band split: per-band RMSNorm + Linear → (bands, B, T, dim)
     feats = []
@@ -128,8 +136,8 @@ def melband_net(p, spec, cfg: MelBandConfig):
     x = jnp.stack(feats, axis=0)  # (nb, B, T, dim)
     nb = cfg.num_bands
 
-    tcos, tsin = rotary_tables(t, cfg.dim_head)
-    fcos, fsin = rotary_tables(nb, cfg.dim_head)
+    tcos, tsin = (a.astype(dtype) for a in rotary_tables(t, cfg.dim_head))
+    fcos, fsin = (a.astype(dtype) for a in rotary_tables(nb, cfg.dim_head))
     for i in range(cfg.depth):
         seq = x.reshape(nb * b, t, cfg.dim)
         seq = _transformer(p[f"time{i}"], seq, tcos, tsin, cfg)
@@ -145,13 +153,14 @@ def melband_net(p, spec, cfg: MelBandConfig):
     h = x
     for lay in p["me_hidden"]:
         h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, lay["w"],
-                                preferred_element_type=jnp.float32) + lay["b"][:, None, None])
+                                preferred_element_type=jnp.float32)
+                     + lay["b"][:, None, None]).astype(dtype)
     masks = []
     for i, w in enumerate(widths):
         g = core.dense(p["me_out"][i], h[i])  # (B, T, 2w)
         masks.append(g[..., :w] * jax.nn.sigmoid(g[..., w:]))  # GLU
     mask_flat = jnp.concatenate(masks, axis=-1)  # (B, T, 2S)
-    mask = mask_flat.reshape(b, t, -1, 2)  # (B, T, S, 2)
+    mask = mask_flat.reshape(b, t, -1, 2).astype(jnp.float32)  # f32 mask island
 
     # overlap-average scatter: sum contributions per bin / membership count
     acc = jnp.zeros((b, t, fc, 2), mask.dtype)

@@ -143,7 +143,9 @@ def mossformer2_se_forward(params, audio, cfg: MossFormer2SeConfig = MossFormer2
 
     mask = mossformer2_se_net(params, feat, cfg)
     masked = spec * jnp.concatenate([mask, mask], axis=-1)
-    y = istft_packed(masked, cfg.istft_cfg if hasattr(cfg, "istft_cfg") else cfg.frame_cfg)
+    from ..ops.stft_pallas import fast_istft_packed
+
+    y = fast_istft_packed(masked, cfg.istft_cfg if hasattr(cfg, "istft_cfg") else cfg.frame_cfg)
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

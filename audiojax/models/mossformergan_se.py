@@ -59,6 +59,10 @@ class MossFormerGanConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 24000
+    # bf16 compute with f32 STFT/decompress/ISTFT islands — the analog of the
+    # reference's fp16 plan with its int16-domain f32 block list
+    # (/root/reference/MossFormerGAN_SE_16K/Optimize_ONNX.py).
+    compute_dtype: str = "float32"
 
     @property
     def stft(self) -> StftConfig:
@@ -109,7 +113,7 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
     hidden, qk = huv[..., : cfg.mf_hidden], huv[..., cfg.mf_hidden :]
 
     scaled = qk[..., None, :] * p["gamma"] + p["beta"]  # (N, Q, 4, qk)
-    cos, sin = rotary_tables(q_len, cfg.mf_rot)
+    cos, sin = (a.astype(x.dtype) for a in rotary_tables(q_len, cfg.mf_rot))
     mid, rest = scaled[..., : cfg.mf_rot], scaled[..., cfg.mf_rot :]
     halfr = jnp.stack([-mid[..., 1::2], mid[..., 0::2]], axis=-1).reshape(mid.shape)
     scaled = jnp.concatenate([mid * cos[:, None] + halfr * sin[:, None], rest], axis=-1)
@@ -135,6 +139,7 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
     lin_kh = jnp.einsum("njk,njv->nkv", lin_k, hidden, preferred_element_type=jnp.float32) / q_len
     att_hidden = att_hidden + jnp.einsum("nik,nkv->niv", lin_q, lin_kh,
                                          preferred_element_type=jnp.float32)
+    att_hidden = att_hidden.astype(hidden.dtype)  # back to compute dtype
 
     att_v, att_u = att_hidden[..., : cfg.mf_vdim], att_hidden[..., cfg.mf_vdim :]
     v, u = hidden[..., : cfg.mf_vdim], hidden[..., cfg.mf_vdim :]
@@ -211,8 +216,11 @@ def triple_attention(p, x, cfg: MossFormerGanConfig):
     q = qk[:, 0].reshape(b, h, t, qc * f)
     k = qk[:, 1].reshape(b, h, t, qc * f)
     v = vv.reshape(b, h, t, vc * f)
-    attn = jax.nn.softmax(jnp.einsum("bhik,bhjk->bhij", q, k, preferred_element_type=jnp.float32), axis=-1)
-    y = jnp.einsum("bhij,bhjv->bhiv", attn, v, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(
+        jnp.einsum("bhik,bhjk->bhij", q, k, preferred_element_type=jnp.float32), axis=-1
+    ).astype(x.dtype)
+    y = jnp.einsum("bhij,bhjv->bhiv", attn, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
     y = y.reshape(b, h, t, vc, f)
     y = jnp.transpose(y, (0, 2, 4, 1, 3)).reshape(b, t, f, h * vc)  # h-major channels
     y = core.prelu(p["proj_act"], core.conv2d(p["proj"], y))
@@ -259,6 +267,11 @@ def _decoder(p, x, cfg: MossFormerGanConfig, out_ch: int):
 
 def mossformergan_net(p, mag_c, spec_c, cfg: MossFormerGanConfig):
     """compressed mag (B,T,F) + compressed complex (B,T,F,2) → enhanced packed."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        mag_c = mag_c.astype(dtype)
+        spec_c = spec_c.astype(dtype)
     x = jnp.concatenate([mag_c[..., None], spec_c], axis=-1)  # (B,T,F,3)
     x = core.conv2d(p["enc_conv1"], x)
     x = core.prelu(p["enc_act1"], instance_norm_tf(p["enc_norm1"], x))
@@ -284,7 +297,7 @@ def mossformergan_net(p, mag_c, spec_c, cfg: MossFormerGanConfig):
     cx = core.prelu(p["cplx_act"], instance_norm_tf(p["cplx_norm"], cx))
     cplx = core.conv2d(p["cplx_final"], cx, padding=(0, 0))  # (B, T, 201, 2)
 
-    final = mask[..., None] * spec_c + cplx
+    final = (mask[..., None] * spec_c + cplx).astype(jnp.float32)  # f32 decompress island
     power = jnp.sum(final * final, axis=-1)
     # decompress: |final|^(1/c) unit-phase ≡ final · |final|²^((1/c − 1)/2)
     factor = jnp.power(jnp.clip(power, 1e-12, None), (1.0 / cfg.compress - 1.0) * 0.5)

@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dsp import StftConfig, istft, stft
+from ..dsp import StftConfig, stft
 from ..dsp.pcm import fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
 from ..nn import core
 from ..nn.rnn import gru_cell
@@ -162,14 +162,17 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
     if cfg.fold_window:
         x = fold_windows(x, cfg.fold_window)
 
-    re, im = stft(x, cfg.stft)  # (2B', T, F)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    packed = fast_stft_packed(x, cfg.stft)  # Pallas-fused on TPU (hop is 128-aligned)
+    re, im = packed[..., : cfg.stft.f_bins], packed[..., cfg.stft.f_bins :]  # (2B', T, F)
     spec = jnp.stack([re, im], axis=-1)
     nb = spec.shape[0] // 2
     ref_spec, mic_spec = spec[:nb], spec[nb:]
 
     echo = nkf_scan(params, ref_spec, mic_spec, cfg)
     out = mic_spec - echo
-    y = istft(out[..., 0], out[..., 1], cfg.stft)
+    y = fast_istft_packed(jnp.concatenate([out[..., 0], out[..., 1]], axis=-1), cfg.stft)
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

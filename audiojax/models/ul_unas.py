@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp import StftConfig, istft_packed, stft_packed
+from ..dsp import StftConfig, stft_packed
 from ..dsp.pcm import fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
 from ..nn import core, rnn
 from ..nn.erb import erb_compress, erb_expand
@@ -288,9 +288,11 @@ def ul_unas_forward(params, audio, cfg: UlUnasConfig = UlUnasConfig()):
     if cfg.fold_window:
         x = fold_windows(x, cfg.fold_window)
 
-    spec = stft_packed(x, cfg.stft)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    spec = fast_stft_packed(x, cfg.stft)  # Pallas-fused on TPU (hop is 128-aligned)
     out = ul_unas_net(params, spec, cfg)
-    y = istft_packed(out, cfg.stft)
+    y = fast_istft_packed(out, cfg.stft)
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

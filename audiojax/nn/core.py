@@ -59,17 +59,53 @@ def _norm_pad(pad):
     return tuple(pad)
 
 
+# Depthwise convs below this tap count run as unrolled shift-and-scale adds
+# (k fused VPU ops) instead of lax.conv — XLA:TPU lowers feature_group_count
+# == C convs on small maps very poorly (~30× slower for the DFSMN FSMN
+# memory, k=20 C=256 T≈100).
+_DW_UNROLL_MAX_TAPS = 64
+
+
+def _dw_shift_conv(w, x, pads, dilations):
+    """Depthwise conv as Σ_taps shifted-scaled slices.
+
+    x: (B, *spatial, C); w: (*k, 1, C) with Cout == C (multiplier 1).
+    ``pads``/``dilations``: per spatial axis.  Stride 1 only.
+    """
+    spatial = w.ndim - 2
+    pad_cfg = [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)]
+    if any(lo or hi for lo, hi in pad_cfg):
+        x = jnp.pad(x, pad_cfg)
+    out_shape = [
+        x.shape[1 + a] - dilations[a] * (w.shape[a] - 1) for a in range(spatial)
+    ]
+    acc = None
+    for tap in np.ndindex(*w.shape[:spatial]):
+        idx = (slice(None),) + tuple(
+            slice(tap[a] * dilations[a], tap[a] * dilations[a] + out_shape[a])
+            for a in range(spatial)
+        )
+        term = x[idx] * w[tap][0]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
     """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
-    y = lax.conv_general_dilated(
-        x,
-        p["w"],
-        window_strides=(stride,),
-        padding=[_norm_pad(padding)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
+    w = p["w"]
+    if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
+            and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS):
+        y = _dw_shift_conv(w, x, [_norm_pad(padding)], [dilation])
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride,),
+            padding=[_norm_pad(padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )
     if "b" in p:
         y = y + p["b"]
     return y
@@ -77,15 +113,21 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
 
 def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
     """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout)."""
-    y = lax.conv_general_dilated(
-        x,
-        p["w"],
-        window_strides=tuple(stride),
-        padding=[_norm_pad(padding[0]), _norm_pad(padding[1])],
-        rhs_dilation=tuple(dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    w = p["w"]
+    if (groups > 1 and w.shape[2] == 1 and w.shape[3] == groups == x.shape[-1]
+            and tuple(stride) == (1, 1) and w.shape[0] * w.shape[1] <= _DW_UNROLL_MAX_TAPS):
+        y = _dw_shift_conv(w, x, [_norm_pad(padding[0]), _norm_pad(padding[1])],
+                           list(dilation))
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=tuple(stride),
+            padding=[_norm_pad(padding[0]), _norm_pad(padding[1])],
+            rhs_dilation=tuple(dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
     if "b" in p:
         y = y + p["b"]
     return y

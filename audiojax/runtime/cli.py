@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--example", action="store_true", help="use the reference Test_Examples input")
     ap.add_argument("--stream", action="store_true",
                     help="serve with state-carry streaming (low latency) instead of windowing")
+    ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None,
+                    help="activation compute dtype for models that support it "
+                         "(bf16 with f32 DSP islands — the reference's fp16-plan analog)")
     ap.add_argument("--block-hops", type=int, default=4, help="streaming block size in hops")
     ap.add_argument("--list", action="store_true", help="list registered models")
     args = ap.parse_args(argv)
@@ -50,6 +53,15 @@ def main(argv=None):
     from .session import Session
 
     cfg = spec.make_config()
+    if args.compute_dtype:
+        import dataclasses
+
+        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            print(f"{spec.name} has no compute_dtype knob (supported: "
+                  f"{[n for n in registry.names() if any(f.name == 'compute_dtype' for f in dataclasses.fields(registry.get(n).make_config()))]})",
+                  file=sys.stderr)
+            return 2
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.artifact:
         params, manifest = load_artifact(args.artifact)
     else:

@@ -1,0 +1,156 @@
+"""Full model-zoo RTF benchmark on the current JAX backend.
+
+Measures EVERY registered model at its manifest serving geometry (one
+``INPUT_AUDIO_LENGTH`` window, batch 1 — the reference's published chunk
+sizes, /root/reference/README.md:59-87) plus bf16-compute variants for the
+models that expose a ``compute_dtype`` knob.  Prints one JSON line per model
+and a final markdown table.
+
+    /opt/venv/bin/python -m audiojax.utils.bench_all [--iters N] [--models a,b]
+
+``bench.py`` at the repo root remains the canonical single-line benchmark;
+this is the coverage sweep behind the README's full RTF table.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+# Reference RTF baselines (BASELINE.md; primary = first ORT-CPU row).
+BASELINES = {
+    "zipenhancer": 0.32,
+    "mossformergan_se": 1.085,
+    "mossformer2_se": 0.09,
+    "dfsmn": 0.0068,
+    "gtcrn": 0.0036,
+    "h_gtcrn": 0.03,
+    "ul_unas": 0.0064,
+    "sdaec": 0.105,
+    "dfsmn_aec": 0.11,
+    "nkf_aec": 0.018,
+    "deep_echo": 0.024,
+    "mossformer2_ss": 2.63,
+    "melband_roformer": 1.40,
+    "melband_roformer_stereo": 1.40,
+    "mossformer2_sr": 1.49,
+}
+
+
+def _clip(shape, rate, seed=0):
+    rng = np.random.default_rng(seed)
+    n = shape[-1]
+    t = np.arange(n) / rate
+    wave = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+    mono = (wave * 20000).astype(np.int16)
+    return np.broadcast_to(mono, shape).copy()
+
+
+def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime import registry
+
+    spec = registry.get(name)
+    cfg = spec.make_config()
+    if compute_dtype is not None:
+        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            raise ValueError(f"{name} has no compute_dtype knob")
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    man = spec.make_manifest(cfg)
+    rc = man.runtime_config()
+    w, ch, k = rc["INPUT_AUDIO_LENGTH"], rc["INPUT_CHANNELS"], rc["NUM_AUDIO_INPUTS"]
+    shape = (1, w) if ch == 1 else (1, ch, w)
+    inputs = [jnp.asarray(_clip(shape, rc["IN_SAMPLE_RATE"], seed=i)) for i in range(k)]
+
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    fn = jax.jit(spec.make_forward(cfg))
+
+    def run_once():
+        out = fn(params, *inputs)
+        outs = out if isinstance(out, (tuple, list)) else (out,)
+        return outs
+
+    # warmup: compile, then a settle phase — the axon tunnel pays ~30 ms
+    # per-call round-trips for the first ~10 executions of a new executable
+    # before its dispatch path pipelines; time only the steady state
+    for o in run_once():
+        np.asarray(o)
+    last = None
+    for _ in range(12):
+        last = run_once()
+    for o in last:
+        np.asarray(o[(0,) * (o.ndim - 1) + (slice(0, 4),)])
+    # timed: queue iters executions on the device stream, sync once at the end
+    # (single-chip execution is serialized; block_until_ready is async under
+    # the axon tunnel, so the host transfer is the true sync)
+    start = time.perf_counter()
+    last = None
+    for _ in range(iters):
+        last = run_once()
+    for o in last:
+        np.asarray(o[(0,) * (o.ndim - 1) + (slice(0, 4),)])
+    elapsed = (time.perf_counter() - start) / iters
+
+    duration = w / rc["IN_SAMPLE_RATE"]
+    rtf = elapsed / duration
+    base = BASELINES.get(name)
+    return {
+        "model": name + (f"+{compute_dtype}" if compute_dtype else ""),
+        "rtf": round(rtf, 6),
+        "latency_ms": round(elapsed * 1e3, 3),
+        "chunk_s": round(duration, 3),
+        "baseline_rtf": base,
+        "vs_baseline": round(base / rtf, 2) if base else None,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--models", default=None, help="comma-separated subset")
+    ap.add_argument("--no-bf16", action="store_true", help="skip bf16-compute variants")
+    args = ap.parse_args(argv)
+
+    from ..runtime import registry
+
+    names = args.models.split(",") if args.models else registry.names()
+    rows = []
+    for name in names:
+        spec = registry.get(name)
+        try:
+            row = bench_model(name, iters=args.iters)
+        except Exception as e:  # keep sweeping; report the failure
+            row = {"model": name, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        if args.no_bf16 or "error" in row:
+            continue
+        cfg = spec.make_config()
+        if any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            try:
+                row = bench_model(name, iters=args.iters, compute_dtype="bfloat16")
+            except Exception as e:
+                row = {"model": f"{name}+bfloat16", "error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+
+    print("\n| Model | RTF | chunk | reference CPU RTF | speedup |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['model']} | ERROR: {r['error']} | | | |")
+        else:
+            base = r["baseline_rtf"]
+            print(f"| {r['model']} | {r['rtf']:.6f} | {r['chunk_s']:.1f} s | "
+                  f"{base if base is not None else '—'} | "
+                  f"{str(r['vs_baseline']) + '×' if r['vs_baseline'] else '—'} |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,15 +10,22 @@ __all__ = ["measure_rtf"]
 
 
 def measure_rtf(fn, params, audio, *, sample_rate: int, iters: int = 20,
-                warmup: bool = True) -> dict:
+                warmup: bool = True, settle: int = 12) -> dict:
     """Steady-state real-time factor of ``fn(params, audio) -> audio-like``.
 
     Executions are CHAINED (output feeds input — both are int16 of identical
     shape) and synced once by a host transfer, because ``block_until_ready``
     is a no-op under async remote dispatch (e.g. the axon TPU tunnel).
+    ``settle`` extra executions run after compile before timing starts — the
+    tunnel pays ~30 ms per-call round-trips for the first ~10 executions of a
+    new executable before its dispatch path pipelines.
     """
     if warmup:
         np.asarray(fn(params, audio))
+        x = audio
+        for _ in range(settle):
+            x = fn(params, x)
+        np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 8),)])
     x = audio
     start = time.perf_counter()
     for _ in range(iters):

@@ -50,6 +50,27 @@ def test_forward_mono_contract():
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def test_melband_bf16_close_to_f32():
+    """bf16 transformer compute (f32 mask/ISTFT island) must stay close to
+    f32 — this is the one model the reference even recommends INT8 for
+    (README.md:93), so bf16 is well inside its numeric tolerance."""
+    import dataclasses
+
+    cfg = _tiny()
+    params = init_melband(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    t = np.arange(4410) / 44100.0
+    wave = 0.4 * np.sin(2 * np.pi * 880 * t) + 0.05 * rng.standard_normal(4410)
+    audio = jnp.asarray((wave * 20000).astype(np.int16)[None])
+
+    f32 = np.asarray(melband_forward(params, audio, cfg)).astype(np.float64)
+    bf16 = np.asarray(melband_forward(
+        params, audio, dataclasses.replace(cfg, compute_dtype="bfloat16"))).astype(np.float64)
+    err = bf16 - f32
+    snr = 10 * np.log10(max(np.sum(f32 * f32), 1e-12) / max(np.sum(err * err), 1e-12))
+    assert snr > 15, f"bf16 drifted too far from f32: {snr:.1f} dB"
+
+
 def test_forward_stereo_contract():
     cfg = _tiny(ch=2)
     params = init_melband(jax.random.PRNGKey(1), cfg)

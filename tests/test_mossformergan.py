@@ -52,3 +52,23 @@ def test_forward_contract():
     assert out.shape == (1, 3200)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_mossformergan_bf16_close_to_f32():
+    """bf16 compute (f32 STFT/decompress islands) must stay close to f32 —
+    the analog of the reference's fp16 plan with its f32 block list."""
+    import dataclasses
+
+    cfg = _tiny()
+    params = init_mossformergan(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    t = np.arange(3200) / 16000.0
+    wave = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(3200)
+    audio = jnp.asarray((wave * 20000).astype(np.int16)[None])
+
+    f32 = np.asarray(mossformergan_forward(params, audio, cfg)).astype(np.float64)
+    bf16 = np.asarray(mossformergan_forward(
+        params, audio, dataclasses.replace(cfg, compute_dtype="bfloat16"))).astype(np.float64)
+    err = bf16 - f32
+    snr = 10 * np.log10(np.sum(f32 * f32) / max(np.sum(err * err), 1e-12))
+    assert snr > 15, f"bf16 drifted too far from f32: {snr:.1f} dB"

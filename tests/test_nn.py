@@ -66,6 +66,36 @@ def test_conv1d_matches_torch():
     np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,pad,dilation", [(20, 19, 1), (7, 3, 1), (5, 8, 2)])
+def test_conv1d_depthwise_fast_path_matches_torch(k, pad, dilation):
+    """True depthwise (multiplier 1) hits the unrolled shift-and-scale path;
+    it must match torch exactly like the lax path does."""
+    torch.manual_seed(4)
+    c = 16
+    m = torch.nn.Conv1d(c, c, k, padding=pad, dilation=dilation, groups=c)
+    x = torch.randn(2, c, 40)
+    ref = m(x).detach().numpy()
+    p = {"w": _t2j_conv1d_w(m.weight), "b": jnp.asarray(m.bias.detach().numpy())}
+    assert p["w"].shape == (k, 1, c)  # confirms the fast-path predicate
+    y = core.conv1d(p, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                    padding=pad, dilation=dilation, groups=c)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,kw,pad,dil", [(1, 39, (0, 19), (1, 1)), (3, 3, (2, 1), (2, 1))])
+def test_conv2d_depthwise_fast_path_matches_torch(kh, kw, pad, dil):
+    torch.manual_seed(5)
+    c = 8
+    m = torch.nn.Conv2d(c, c, (kh, kw), padding=pad, dilation=dil, groups=c)
+    x = torch.randn(1, c, 9, 50)
+    ref = m(x).detach().numpy()
+    p = {"w": _t2j_conv2d_w(m.weight), "b": jnp.asarray(m.bias.detach().numpy())}
+    assert p["w"].shape == (kh, kw, 1, c)
+    y = core.conv2d(p, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                    padding=pad, dilation=dil, groups=c)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+
 def _torch_gru_params(m, suffix=""):
     return {
         "w_i": jnp.asarray(getattr(m, f"weight_ih_l0{suffix}").detach().numpy().T),

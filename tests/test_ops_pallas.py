@@ -4,8 +4,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from audiojax.dsp import StftConfig, stft_packed
-from audiojax.ops.stft_pallas import stft_packed_pallas
+from audiojax.dsp import StftConfig, istft_packed, stft_packed
+from audiojax.ops.stft_pallas import istft_packed_pallas, stft_packed_pallas
 
 
 @pytest.mark.parametrize("cfg,length", [
@@ -20,4 +20,21 @@ def test_pallas_stft_matches_jnp(cfg, length):
     out = np.asarray(stft_packed_pallas(x, cfg, frames_per_block=32, interpret=True))
     assert out.shape == ref.shape
     scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-4 * scale)
+
+
+@pytest.mark.parametrize("cfg,length,out_length", [
+    (StftConfig(512, 256, window="hann_sqrt", pad_mode="reflect"), 16000, None),
+    (StftConfig(400, 100, window="hann", pad_mode="reflect"), 8000, 7900),
+    (StftConfig(1024, 256, window="hann", pad_mode="constant"), 9984, None),
+])
+def test_pallas_istft_matches_jnp(cfg, length, out_length):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, length)).astype(np.float32))
+    spec = stft_packed(x, cfg)
+    ref = np.asarray(istft_packed(spec, cfg, out_length))
+    out = np.asarray(istft_packed_pallas(spec, cfg, out_length=out_length,
+                                         frames_per_block=32, interpret=True))
+    assert out.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(out, ref, atol=3e-4 * scale)
