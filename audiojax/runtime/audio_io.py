@@ -42,6 +42,11 @@ def write_wav(path, audio: np.ndarray, rate: int) -> Path:
         audio = audio[None]
     if audio.dtype != np.int16:
         audio = np.clip(audio, -32768, 32767).astype(np.int16)
+    from . import native
+
+    if native.available():
+        path.write_bytes(native.encode_wav_pcm16(audio, rate))
+        return path
     with wave.open(str(path), "wb") as w:
         w.setnchannels(audio.shape[0])
         w.setsampwidth(2)
@@ -65,6 +70,10 @@ def resample_np(audio: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
         return audio
     n = audio.shape[-1]
     out_n = int(round(n * rate_out / rate_in))
+    from . import native
+
+    if audio.dtype == np.int16 and native.available():
+        return native.resample_linear(audio, out_n)
     coords = (np.arange(out_n, dtype=np.float64) + 0.5) * (n / out_n) - 0.5
     coords = np.clip(coords, 0, n - 1)
     i0 = np.floor(coords).astype(np.int64)
@@ -78,6 +87,10 @@ def resample_np(audio: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
 def normalise_rms(audio: np.ndarray, target_rms: float = 4096.0) -> np.ndarray:
     """Optional int16-domain RMS normalisation to ``target_rms``
     (/root/reference/GTCRN/Inference_GTCRN_ONNX.py:115-135)."""
+    from . import native
+
+    if audio.dtype == np.int16 and native.available():
+        return native.normalise_rms(audio, target_rms)
     x = audio.astype(np.float32)
     rms = float(np.sqrt(np.mean(x * x)))
     if rms > 0.0:

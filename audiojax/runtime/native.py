@@ -13,7 +13,15 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "read_wav_mono16", "slice_windows"]
+__all__ = [
+    "available",
+    "read_wav_mono16",
+    "slice_windows",
+    "encode_wav_pcm16",
+    "resample_linear",
+    "normalise_rms",
+    "ola_stitch",
+]
 
 _SRC = Path(__file__).resolve().parents[2] / "native" / "audioio.cc"
 _SO = _SRC.with_suffix(".so")
@@ -37,6 +45,10 @@ def _load():
         lib.wav_parse_header.restype = ctypes.c_int
         lib.wav_decode_mono16.restype = ctypes.c_int
         lib.slice_windows.restype = ctypes.c_int
+        lib.wav_encode_pcm16.restype = ctypes.c_int64
+        lib.resample_linear_i16.restype = ctypes.c_int
+        lib.normalise_rms_i16.restype = ctypes.c_int
+        lib.ola_stitch_i16.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -91,4 +103,79 @@ def slice_windows(audio: np.ndarray, window: int, stride: int, pad_head: int,
     )
     if rc != 0:
         raise ValueError("slice_windows failed")
+    return out
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Native PCM16 RIFF encode; ``samples`` is (channels, n) or (n,) int16."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    samples = np.asarray(samples, np.int16)
+    if samples.ndim == 1:
+        samples = samples[None]
+    channels, n = samples.shape
+    interleaved = np.ascontiguousarray(samples.T)  # frame-major
+    out = np.empty(44 + n * channels * 2, np.uint8)
+    written = lib.wav_encode_pcm16(
+        interleaved.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(n),
+        ctypes.c_int32(channels), ctypes.c_int32(rate),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if written != out.size:
+        raise ValueError("wav_encode_pcm16 failed")
+    return out.tobytes()
+
+
+def resample_linear(audio: np.ndarray, out_n: int) -> np.ndarray:
+    """Native linear resample along the last axis, int16 → int16."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    audio = np.ascontiguousarray(audio, np.int16)
+    lead = audio.shape[:-1]
+    flat = audio.reshape(-1, audio.shape[-1])
+    out = np.empty((flat.shape[0], out_n), np.int16)
+    for i in range(flat.shape[0]):
+        rc = lib.resample_linear_i16(
+            flat[i].ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(flat.shape[1]),
+            out[i].ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(out_n),
+        )
+        if rc != 0:
+            raise ValueError("resample_linear_i16 failed")
+    return out.reshape(*lead, out_n)
+
+
+def normalise_rms(audio: np.ndarray, target_rms: float) -> np.ndarray:
+    """Native int16 RMS normalisation (whole-tensor RMS, per the reference)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    audio = np.ascontiguousarray(audio, np.int16)
+    out = np.empty_like(audio)
+    rc = lib.normalise_rms_i16(
+        audio.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(audio.size),
+        ctypes.c_double(target_rms), out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("normalise_rms_i16 failed")
+    return out
+
+
+def ola_stitch(windows: np.ndarray, stride_out: int) -> np.ndarray:
+    """Native Hann-taper overlap-add stitch of (num, w_out) int16 windows."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    windows = np.ascontiguousarray(windows, np.int16)
+    num, w_out = windows.shape
+    total = (num - 1) * stride_out + w_out
+    out = np.empty(total, np.int16)
+    rc = lib.ola_stitch_i16(
+        windows.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(num),
+        ctypes.c_int64(w_out), ctypes.c_int64(stride_out),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("ola_stitch_i16 failed")
     return out

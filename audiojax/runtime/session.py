@@ -139,6 +139,10 @@ class Session:
         overlap = w_out - stride_out
         if overlap <= 0:
             return windows.reshape(-1)
+        from . import native as _native
+
+        if windows.dtype == np.int16 and _native.available():
+            return _native.ola_stitch(windows, stride_out)
         taper = np.ones(w_out, np.float32)
         ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(overlap) + 1) / (overlap + 1))
         taper[:overlap] = ramp

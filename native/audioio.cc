@@ -1,12 +1,17 @@
-// audiojax native runtime: WAV decode + window slicing hot paths.
+// audiojax native runtime: the host-side serving loop, in C++.
 //
 // The reference delegates its native layer to ONNX Runtime's C++ EP and uses
 // pydub/numpy on the host (SURVEY.md §2.0); audiojax keeps the TPU compute in
 // XLA/Pallas and implements the host-side serving loop natively here:
 //   * RIFF/WAVE parsing with PCM8/16/24/32 and float32 payloads
 //   * channel mixdown to int16 mono
+//   * PCM16 WAV encoding (in-memory RIFF assembly)
 //   * fixed-window slicing with PAD_HEAD prefix and tail zero-pad (the
 //     per-request hot loop of audiojax.runtime.session)
+//   * linear resampling (align_corners=False, torch-interpolate parity)
+//   * int16-domain RMS normalisation (reference Inference_*.py:115-135)
+//   * Hann-taper overlap-add stitching of output windows (the reference
+//     super-resolution host OLA, Inference_MossFormer_SR_ONNX.py:280-338)
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
 #include <cmath>
@@ -118,6 +123,117 @@ int slice_windows(const int16_t* audio, int64_t n, int64_t window, int64_t strid
     }
   }
   (void)total;
+  return 0;
+}
+
+// Encode interleaved int16 frames as a PCM16 RIFF/WAVE blob. `out` must hold
+// 44 + n_frames*channels*2 bytes. Returns the byte count written.
+int64_t wav_encode_pcm16(const int16_t* samples, int64_t n_frames, int32_t channels,
+                         int32_t sample_rate, uint8_t* out) {
+  if (n_frames < 0 || channels <= 0 || sample_rate <= 0) return -1;
+  const uint32_t data_bytes = (uint32_t)(n_frames * channels * 2);
+  const uint32_t byte_rate = (uint32_t)sample_rate * channels * 2;
+  const uint16_t block_align = (uint16_t)(channels * 2);
+  uint8_t* p = out;
+  memcpy(p, "RIFF", 4); p += 4;
+  uint32_t riff_size = 36 + data_bytes;
+  memcpy(p, &riff_size, 4); p += 4;
+  memcpy(p, "WAVE", 4); p += 4;
+  memcpy(p, "fmt ", 4); p += 4;
+  uint32_t fmt_size = 16; memcpy(p, &fmt_size, 4); p += 4;
+  uint16_t tag = 1; memcpy(p, &tag, 2); p += 2;
+  uint16_t nch = (uint16_t)channels; memcpy(p, &nch, 2); p += 2;
+  uint32_t sr = (uint32_t)sample_rate; memcpy(p, &sr, 4); p += 4;
+  memcpy(p, &byte_rate, 4); p += 4;
+  memcpy(p, &block_align, 2); p += 2;
+  uint16_t bits = 16; memcpy(p, &bits, 2); p += 2;
+  memcpy(p, "data", 4); p += 4;
+  memcpy(p, &data_bytes, 4); p += 4;
+  memcpy(p, samples, data_bytes); p += data_bytes;
+  return (int64_t)(p - out);
+}
+
+// Linear resample (align_corners=False): int16 in (n), int16 out (out_n).
+// Matches F.interpolate(mode="linear") / audio_io.resample_np exactly.
+int resample_linear_i16(const int16_t* in, int64_t n, int16_t* out, int64_t out_n) {
+  if (n <= 0 || out_n <= 0) return -1;
+  const double step = (double)n / (double)out_n;
+  for (int64_t i = 0; i < out_n; ++i) {
+    double c = ((double)i + 0.5) * step - 0.5;
+    if (c < 0.0) c = 0.0;
+    if (c > (double)(n - 1)) c = (double)(n - 1);
+    int64_t i0 = (int64_t)c;
+    int64_t i1 = i0 + 1 < n ? i0 + 1 : n - 1;
+    double frac = c - (double)i0;
+    double v = (double)in[i0] * (1.0 - frac) + (double)in[i1] * frac;
+    if (v > 32767.0) v = 32767.0;
+    if (v < -32768.0) v = -32768.0;
+    out[i] = (int16_t)lrint(v);
+  }
+  return 0;
+}
+
+// RMS-normalise int16 samples to `target_rms` (reference
+// Inference_GTCRN_ONNX.py:115-135): scale by target/(rms + 1e-7), clamp.
+int normalise_rms_i16(const int16_t* in, int64_t n, double target_rms, int16_t* out) {
+  if (n <= 0) return -1;
+  double acc = 0.0;
+  for (int64_t i = 0; i < n; ++i) acc += (double)in[i] * (double)in[i];
+  double rms = sqrt(acc / (double)n);
+  if (rms <= 0.0) {
+    memcpy(out, in, (size_t)n * 2);
+    return 0;
+  }
+  // f32 parity with the numpy reference (float32 math end to end)
+  float scale = (float)target_rms / ((float)rms + 1e-7f);
+  for (int64_t i = 0; i < n; ++i) {
+    float v = (float)in[i] * scale;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    out[i] = (int16_t)lrintf(v);
+  }
+  return 0;
+}
+
+// Hann-taper overlap-add stitch of `num` output windows of `w_out` samples at
+// stride `stride_out` (< w_out). First/last windows keep their outer edges
+// un-tapered; overlaps are normalised by the taper sum. Mirrors
+// runtime.session.Session._stitch. `out` holds (num-1)*stride_out + w_out.
+int ola_stitch_i16(const int16_t* windows, int64_t num, int64_t w_out,
+                   int64_t stride_out, int16_t* out) {
+  if (num <= 0 || w_out <= 0 || stride_out <= 0) return -1;
+  const int64_t overlap = w_out - stride_out;
+  const int64_t total = (num - 1) * stride_out + w_out;
+  if (num == 1 || overlap <= 0) {
+    memcpy(out, windows, (size_t)(num * w_out) * 2);
+    return 0;
+  }
+  // ramp computed in double, stored f32 — bit-parity with the numpy reference
+  std::vector<float> taper((size_t)w_out, 1.0f), ramp((size_t)overlap);
+  for (int64_t i = 0; i < overlap; ++i)
+    ramp[(size_t)i] = (float)(0.5 - 0.5 * cos(M_PI * (double)(i + 1) / (double)(overlap + 1)));
+  for (int64_t i = 0; i < overlap; ++i) taper[(size_t)i] = ramp[(size_t)i];
+  for (int64_t i = 0; i < overlap; ++i)  // tail = reversed ramp, written after the head
+    taper[(size_t)(w_out - overlap + i)] = ramp[(size_t)(overlap - 1 - i)];
+  std::vector<float> acc((size_t)total, 0.0f), norm((size_t)total, 0.0f);
+  for (int64_t wi = 0; wi < num; ++wi) {
+    const int16_t* src = windows + wi * w_out;
+    const int64_t s = wi * stride_out;
+    for (int64_t j = 0; j < w_out; ++j) {
+      float t = taper[(size_t)j];
+      if (wi == 0 && j < overlap) t = 1.0f;
+      if (wi == num - 1 && j >= w_out - overlap) t = 1.0f;
+      acc[(size_t)(s + j)] += (float)src[j] * t;
+      norm[(size_t)(s + j)] += t;
+    }
+  }
+  for (int64_t i = 0; i < total; ++i) {
+    float d = norm[(size_t)i] > 1e-7f ? norm[(size_t)i] : 1e-7f;
+    float v = acc[(size_t)i] / d;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    out[i] = (int16_t)lrintf(v);
+  }
   return 0;
 }
 

@@ -36,3 +36,81 @@ def test_native_rejects_garbage(tmp_path):
     p.write_bytes(b"this is not a wav file at all, sorry")
     with pytest.raises(ValueError, match="invalid WAV"):
         native.read_wav_mono16(p)
+
+
+def test_native_wav_encode_roundtrip(tmp_path):
+    import wave
+
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal((2, 3000)) * 9000).astype(np.int16)
+    blob = native.encode_wav_pcm16(audio, 44100)
+    p = tmp_path / "enc.wav"
+    p.write_bytes(blob)
+    with wave.open(str(p)) as w:  # stdlib reader accepts the native RIFF
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (2, 44100, 2)
+        back = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(-1, 2).T
+    np.testing.assert_array_equal(back, audio)
+    # and the native decoder agrees with the python one
+    ref, rate = read_wav(p)
+    np.testing.assert_array_equal(ref, audio)
+
+
+def test_native_resample_matches_numpy():
+    from audiojax.runtime.audio_io import resample_np
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((3, 1601)) * 12000).astype(np.int16)
+    for rate_in, rate_out in [(48000, 16000), (16000, 48000), (44100, 16000)]:
+        out_n = int(round(audio.shape[-1] * rate_out / rate_in))
+        ours = native.resample_linear(audio, out_n)
+        # numpy reference path (force by using the float32 branch input copy)
+        coords = (np.arange(out_n, dtype=np.float64) + 0.5) * (audio.shape[-1] / out_n) - 0.5
+        coords = np.clip(coords, 0, audio.shape[-1] - 1)
+        i0 = np.floor(coords).astype(np.int64)
+        i1 = np.minimum(i0 + 1, audio.shape[-1] - 1)
+        frac = coords - i0
+        x = audio.astype(np.float32)
+        ref = np.clip(np.round(x[..., i0] * (1.0 - frac) + x[..., i1] * frac),
+                      -32768, 32767).astype(np.int16)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_native_normalise_rms_matches_numpy():
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(5000) * 300).astype(np.int16)
+    ours = native.normalise_rms(audio, 4096.0)
+    x = audio.astype(np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    ref = np.clip(x * (4096.0 / (rms + 1e-7)), -32768, 32767)
+    # rms accumulation order differs (f64 serial vs f32 pairwise): ≤1 LSB
+    assert np.abs(ours.astype(np.float64) - np.round(ref)).max() <= 1
+    got_rms = np.sqrt(np.mean(ours.astype(np.float64) ** 2))
+    assert abs(got_rms - 4096.0) / 4096.0 < 0.01
+
+
+def test_native_ola_stitch_matches_session():
+    rng = np.random.default_rng(5)
+    num, w_out, stride = 4, 1000, 700
+    windows = (rng.standard_normal((num, w_out)) * 9000).astype(np.int16)
+    ours = native.ola_stitch(windows, stride)
+    # numpy reference: replicate Session._stitch's taper math directly
+    overlap = w_out - stride
+    taper = np.ones(w_out, np.float32)
+    ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(overlap) + 1) / (overlap + 1))
+    taper[:overlap] = ramp
+    taper[-overlap:] = ramp[::-1]
+    total = (num - 1) * stride + w_out
+    acc = np.zeros(total, np.float32)
+    norm = np.zeros(total, np.float32)
+    for i in range(num):
+        s = i * stride
+        t = taper.copy()
+        if i == 0:
+            t[:overlap] = 1.0
+        if i == num - 1:
+            t[-overlap:] = 1.0
+        acc[s : s + w_out] += windows[i].astype(np.float32) * t
+        norm[s : s + w_out] += t
+    expect = np.clip(np.round(acc / np.maximum(norm, 1e-7)), -32768, 32767).astype(np.int16)
+    assert ours.shape == expect.shape
+    assert np.abs(ours.astype(np.int32) - expect.astype(np.int32)).max() <= 1
