@@ -41,11 +41,32 @@ class SessionResult:
 
 
 class Session:
-    """Runs ``model_fn(params, *audio_batches) -> out | (outs…)`` per manifest."""
+    """Runs ``model_fn(params, *audio_batches) -> out | (outs…)`` per manifest.
 
-    def __init__(self, model_fn, params, manifest: Manifest, *, jit: bool = True):
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``dp`` axis, see
+    ``audiojax.parallel.make_mesh``) the window batch is sharded across chips:
+    params are replicated once, every audio input's window axis is split over
+    ``dp``, and the stitch consumes the gathered outputs — multi-chip
+    throughput serving of the reference's batch-fold idea (SURVEY.md §2.0).
+    """
+
+    def __init__(self, model_fn, params, manifest: Manifest, *, jit: bool = True, mesh=None):
         self.manifest = manifest
         self.cfg = manifest.runtime_config()
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate
+
+            self.params = replicate(mesh, params)
+            k = self.cfg["NUM_AUDIO_INPUTS"]
+            in_s = (NamedSharding(mesh, P()),) + (NamedSharding(mesh, P("dp")),) * k
+            self.fn = jax.jit(model_fn, in_shardings=in_s,
+                              out_shardings=NamedSharding(mesh, P("dp")))
+            self._dp = mesh.shape["dp"]
+            return
+        self._dp = 1
         self.params = params
         self.fn = jax.jit(model_fn) if jit else model_fn
 
@@ -70,10 +91,11 @@ class Session:
         w = self.cfg["INPUT_AUDIO_LENGTH"]
         overlap = self.cfg["OVERLAP_LENGTH"]
         stride = w - overlap if overlap else w
-        if n <= w:
-            return w, stride, 1
-        num = int(np.ceil((n - w) / stride)) + 1
-        return w, stride, num
+        num = 1 if n <= w else int(np.ceil((n - w) / stride)) + 1
+        # dp sharding needs a whole number of windows per chip; the extra
+        # all-zero tail windows are dropped again before stitching
+        num_padded = -(-num // self._dp) * self._dp
+        return w, stride, num, num_padded
 
     # ── main entry ───────────────────────────────────────────────────────
 
@@ -95,26 +117,26 @@ class Session:
             prepped.append(a)
         total = n + pad_head
 
-        w, stride, num = self._window_geometry(total)
-        need = (num - 1) * stride + w
+        w, stride, num, num_padded = self._window_geometry(total)
+        need = (num_padded - 1) * stride + w
         from . import native as _native
 
         batches = []
         for a in prepped:
             if a.ndim == 2 and a.shape[0] == 1 and _native.available():
                 # native hot path: C++ window slicing (pads the tail itself)
-                batches.append(_native.slice_windows(a[0], w, stride, 0, num))
+                batches.append(_native.slice_windows(a[0], w, stride, 0, num_padded))
                 continue
             if a.shape[-1] < need:
                 a = np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, need - a.shape[-1])])
-            wins = np.stack([a[..., s : s + w] for s in range(0, num * stride, stride)])
+            wins = np.stack([a[..., s : s + w] for s in range(0, num_padded * stride, stride)])
             # (num, channels, w) → model contract is (batch, w) for mono
             batches.append(wins[:, 0] if wins.shape[1] == 1 else wins)
 
         start = time.perf_counter()
         out = self.fn(self.params, *[jax.numpy.asarray(b) for b in batches])
         outs = tuple(out) if isinstance(out, (tuple, list)) else (out,)
-        outs = tuple(np.asarray(o) for o in outs)  # true sync
+        outs = tuple(np.asarray(o)[:num] for o in outs)  # true sync; drop dp pad windows
         elapsed = time.perf_counter() - start
 
         scale = self.cfg["INPUT_TO_OUTPUT_SCALE"]

@@ -73,3 +73,27 @@ def test_dp_sharded_zipenhancer_net():
 
     np.testing.assert_allclose(np.asarray(m_sh), np.asarray(m_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_mesh_session_matches_plain_session():
+    """Session(mesh=…) dp-shards the window batch (padding to a whole number
+    of windows per chip) and must reproduce the plain Session bit-exactly,
+    for both butt-joined and overlapped (SR-style) stitching."""
+    from audiojax.runtime.manifest import Manifest
+    from audiojax.runtime.session import Session
+
+    def neg_model(params, audio):
+        return (-audio).astype(audio.dtype)
+
+    mesh = make_mesh(8, tp=1)
+    for overlap in (0, 1000):
+        m = Manifest(model_name="t", task="denoise", model_family="T",
+                     in_sample_rate=16000, out_sample_rate=16000,
+                     model_sample_rate=16000, input_audio_length=4000,
+                     overlap_length=overlap)
+        x = (np.arange(10_500) % 2000 - 1000).astype(np.int16)
+        ref = Session(neg_model, {}, m, jit=False).process(x)
+        out = Session(neg_model, {}, m, mesh=mesh).process(x)
+        assert out.outputs[0].shape == ref.outputs[0].shape == (10_500,)
+        np.testing.assert_array_equal(out.outputs[0], ref.outputs[0])
