@@ -90,12 +90,37 @@ def _dw_shift_conv(w, x, pads, dilations):
     return acc
 
 
+def _grouped_single_out_conv1d(w, x, pads, dilation):
+    """Grouped conv with ONE output channel per group, as shifted-scaled adds.
+
+    x: (B, T, G·m); w: (k, m, G) — group g's output contracts input channels
+    [g·m, (g+1)·m).  Generalises the depthwise (m=1) case; same rationale as
+    :func:`_dw_shift_conv` (feature_group_count lowering is pathological on
+    TPU for small maps)."""
+    k, m, g = w.shape
+    lo, hi = pads
+    if lo or hi:
+        x = jnp.pad(x, [(0, 0), (lo, hi), (0, 0)])
+    t_out = x.shape[1] - dilation * (k - 1)
+    xr = x.reshape(x.shape[0], x.shape[1], g, m)
+    acc = None
+    for i in range(k):
+        seg = lax.slice_in_dim(xr, i * dilation, i * dilation + t_out, axis=1)
+        for r in range(m):
+            term = seg[..., r] * w[i, r]
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
     """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
     w = p["w"]
     if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS):
         y = _dw_shift_conv(w, x, [_norm_pad(padding)], [dilation])
+    elif (groups > 1 and w.shape[2] == groups and x.shape[-1] == w.shape[1] * groups
+            and stride == 1 and w.shape[0] * w.shape[1] <= 2 * _DW_UNROLL_MAX_TAPS):
+        y = _grouped_single_out_conv1d(w, x, _norm_pad(padding), dilation)
     else:
         y = lax.conv_general_dilated(
             x,

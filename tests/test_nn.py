@@ -82,6 +82,23 @@ def test_conv1d_depthwise_fast_path_matches_torch(k, pad, dilation):
     np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("m,dil", [(2, 1), (3, 2)])
+def test_conv1d_grouped_single_out_fast_path_matches_torch(m, dil):
+    """Grouped conv with one output channel per group (the MossFormer2-SS
+    dilated dense-FSMN memory shape) hits the generalised shift path."""
+    torch.manual_seed(6)
+    g, k = 12, 9
+    conv = torch.nn.Conv1d(g * m, g, k, padding=dil * (k - 1) // 2, dilation=dil,
+                           groups=g, bias=False)
+    x = torch.randn(2, g * m, 37)
+    ref = conv(x).detach().numpy()
+    p = {"w": _t2j_conv1d_w(conv.weight)}
+    assert p["w"].shape == (k, m, g)
+    y = core.conv1d(p, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                    padding=dil * (k - 1) // 2, dilation=dil, groups=g)
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=1e-5)
+
+
 @pytest.mark.parametrize("kh,kw,pad,dil", [(1, 39, (0, 19), (1, 1)), (3, 3, (2, 1), (2, 1))])
 def test_conv2d_depthwise_fast_path_matches_torch(kh, kw, pad, dil):
     torch.manual_seed(5)
