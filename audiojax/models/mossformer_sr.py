@@ -90,15 +90,16 @@ def _crossover_kernel_np(taps: int, fc: float, fs: float, beta: float) -> np.nda
 
 
 def upsample_sinc(audio, cfg: MossFormerSrConfig):
-    """int16 (B, L) → normalised (B, ratio*L) via polyphase sinc interpolation."""
+    """int16 (B, L) → normalised (B, ratio*L) via polyphase sinc interpolation.
+
+    Realised as zero-stuffing + banded-GEMM FIR (dsp.fir) — the ConvTranspose
+    form uses one MXU lane in 128 and is ~5× slower on chip."""
+    from ..dsp.fir import fir_gemm, upsample_zero_stuff
+
     ratio, hw = cfg.upsample_ratio, cfg.resample_halfwidth
-    k = _upsample_kernel_np(ratio, hw)
-    p = {"w": jnp.asarray(k[:, None, None])}
-    y = core.conv1d_transpose(
-        p, audio.astype(jnp.float32)[..., None],
-        stride=ratio, padding=ratio * hw, output_padding=ratio - 1,
-    )
-    return y[..., 0]
+    k = _upsample_kernel_np(ratio, hw)  # symmetric: correlation == convolution
+    xd = upsample_zero_stuff(audio.astype(jnp.float32), ratio)
+    return fir_gemm(xd, k, left=ratio * hw, out_len=ratio * audio.shape[-1])
 
 
 def snake(p, x):
@@ -207,7 +208,9 @@ def mossformer_sr_forward(params, audio, cfg: MossFormerSrConfig = MossFormerSrC
         [jnp.flip(diff[..., 1 : half + 1], -1), diff, jnp.flip(diff[..., -(half + 1) : -1], -1)],
         axis=-1,
     )
-    low = core.conv1d({"w": jnp.asarray(xo[:, None, None])}, diff[..., None])[..., 0]
+    from ..dsp.fir import fir_gemm
+
+    low = fir_gemm(diff, xo, out_len=diff.shape[-1] - (len(xo) - 1))
     out = gen + low
     out = out[..., : in_len * cfg.upsample_ratio]
     out = jnp.clip(out, -1.0, 1.0) * 32768.0
