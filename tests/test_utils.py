@@ -24,10 +24,14 @@ def test_measure_rtf_shapes():
         return audio
 
     audio = np.zeros((1, 16000), np.int16)
-    out = measure_rtf(fn, {}, audio, sample_rate=16000, iters=3)
+    out = measure_rtf(fn, {}, audio, sample_rate=16000, iters=3, settle=0)
     assert out["audio_s"] == 1.0
     assert out["rtf"] > 0
     assert len(calls) == 4  # warmup + 3
+
+    calls.clear()
+    measure_rtf(fn, {}, audio, sample_rate=16000, iters=3)  # default settle=12
+    assert len(calls) == 16  # warmup + settle + 3
 
 
 def test_quantize_roundtrip_and_size():
