@@ -138,7 +138,7 @@ def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig, state=None):
         echo_t = _cdot(xt, h_post)
         return (h_prior, h_post, grus), echo_t
 
-    carry_out, echo = jax.lax.scan(step, carry0, xs)
+    carry_out, echo = jax.lax.scan(step, carry0, xs, unroll=4)
     echo = jnp.swapaxes(echo, 0, 1)  # (B, T, F, 2)
     if state is None:
         return echo

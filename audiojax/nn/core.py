@@ -59,11 +59,16 @@ def _norm_pad(pad):
     return tuple(pad)
 
 
-# Depthwise convs below this tap count run as unrolled shift-and-scale adds
-# (k fused VPU ops) instead of lax.conv — XLA:TPU lowers feature_group_count
-# == C convs on small maps very poorly (~30× slower for the DFSMN FSMN
-# memory, k=20 C=256 T≈100).
+# Grouped convs with ≥2 input channels per group and one output channel per
+# group run as unrolled shift-and-scale adds below this tap budget —
+# XLA:TPU's feature_group_count lowering is pathological there (~25× slower
+# for the MossFormer2-SS dilated FSMN memory).  TRUE depthwise (one input
+# channel per group) is shape-dependent (v5e measurements): the unrolled form
+# wins on small/medium maps (lax pays fixed lowering overhead), lax wins once
+# the unroll's re-read volume (elements × taps) grows past ~7e7 (the unroll
+# re-reads the input per tap; lax's conv is single-pass).
 _DW_UNROLL_MAX_TAPS = 64
+_DW_UNROLL_MAX_VOLUME = 72_000_000  # x.size × taps
 
 
 def _dw_shift_conv(w, x, pads, dilations):
@@ -115,11 +120,14 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
 def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
     """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
     w = p["w"]
+    taps = w.shape[0] * w.shape[1]
     if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
-            and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS):
+            and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
+            and x.size * w.shape[0] <= _DW_UNROLL_MAX_VOLUME):
         y = _dw_shift_conv(w, x, [_norm_pad(padding)], [dilation])
-    elif (groups > 1 and w.shape[2] == groups and x.shape[-1] == w.shape[1] * groups
-            and stride == 1 and w.shape[0] * w.shape[1] <= 2 * _DW_UNROLL_MAX_TAPS):
+    elif (groups > 1 and w.shape[1] >= 2 and w.shape[2] == groups
+            and x.shape[-1] == w.shape[1] * groups
+            and stride == 1 and taps <= 2 * _DW_UNROLL_MAX_TAPS):
         y = _grouped_single_out_conv1d(w, x, _norm_pad(padding), dilation)
     else:
         y = lax.conv_general_dilated(
@@ -139,8 +147,10 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
 def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
     """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout)."""
     w = p["w"]
+    taps = w.shape[0] * w.shape[1]
     if (groups > 1 and w.shape[2] == 1 and w.shape[3] == groups == x.shape[-1]
-            and tuple(stride) == (1, 1) and w.shape[0] * w.shape[1] <= _DW_UNROLL_MAX_TAPS):
+            and tuple(stride) == (1, 1) and taps <= _DW_UNROLL_MAX_TAPS
+            and x.size * taps <= _DW_UNROLL_MAX_VOLUME):
         y = _dw_shift_conv(w, x, [_norm_pad(padding[0]), _norm_pad(padding[1])],
                            list(dilation))
     else:

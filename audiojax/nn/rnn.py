@@ -71,7 +71,9 @@ def gru(p, x, h0=None, *, reverse: bool = False, return_state: bool = False):
         h = (1.0 - z) * n + z * h
         return h, h
 
-    h_last, ys = lax.scan(step, h0, jnp.swapaxes(xp, 0, 1), reverse=reverse)
+    # unroll amortises the TPU scan-loop overhead over several tiny hidden
+    # matmuls per iteration (semantics-preserving)
+    h_last, ys = lax.scan(step, h0, jnp.swapaxes(xp, 0, 1), reverse=reverse, unroll=8)
     ys = jnp.swapaxes(ys, 0, 1)
     return (ys, h_last) if return_state else ys
 
@@ -154,7 +156,7 @@ def lstm(p, x, state=None, *, reverse: bool = False, return_state: bool = False)
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    last, ys = lax.scan(step, state, jnp.swapaxes(xp, 0, 1), reverse=reverse)
+    last, ys = lax.scan(step, state, jnp.swapaxes(xp, 0, 1), reverse=reverse, unroll=8)
     ys = jnp.swapaxes(ys, 0, 1)
     return (ys, last) if return_state else ys
 

@@ -79,6 +79,15 @@ def main():
     elapsed_m = _bench_model(mfn, mparams, mclip, iters=15)
     results["m2se_bf16"] = elapsed_m / 2.0
 
+    # showcase rows from the full-zoo sweep geometry (bench_all): the two
+    # heaviest reference models, per-chunk at their serving geometry
+    from audiojax.utils.bench_all import bench_model
+
+    ss_row = bench_model("mossformer2_ss", iters=20, compute_dtype="bfloat16")
+    mb_row = bench_model("melband_roformer", iters=20, compute_dtype="bfloat16")
+    results["m2ss_bf16"] = ss_row["rtf"]
+    results["melband_bf16"] = mb_row["rtf"]
+
     # streaming RTF: 64 ms blocks through the state-carry step, steps chained
     # on-device via the carried state (only the final transfer syncs)
     from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
@@ -114,6 +123,10 @@ def main():
                 "mossformer2_se_bf16_rtf": round(results["m2se_bf16"], 6),
                 "mossformer2_se_bf16_vs_baseline": round(
                     BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
+                "mossformer2_ss_bf16_rtf": round(results["m2ss_bf16"], 6),
+                "mossformer2_ss_bf16_vs_baseline": round(2.63 / results["m2ss_bf16"], 2),
+                "melband_bf16_rtf": round(results["melband_bf16"], 6),
+                "melband_bf16_vs_baseline": round(1.40 / results["melband_bf16"], 2),
                 "chip": str(jax.devices()[0]),
             }
         )
