@@ -3,7 +3,7 @@ from .checkpoint import load_artifact, save_artifact
 from .manifest import Manifest, validate_manifest_dict
 from .optimize import PLANS, Plan, apply_plan, optimize_artifact, plan_for, wrap_forward
 from .session import Session, SessionResult
-from .streaming import StreamingSession
+from .streaming import StreamingServer, StreamingSession
 
 __all__ = [
     "Manifest",
@@ -11,6 +11,7 @@ __all__ = [
     "Plan",
     "Session",
     "SessionResult",
+    "StreamingServer",
     "StreamingSession",
     "apply_plan",
     "load_artifact",

@@ -1,0 +1,93 @@
+"""StreamingServer: batched multi-stream serving vs independent sessions."""
+import numpy as np
+import pytest
+
+import jax
+
+from audiojax.runtime import StreamingServer, StreamingSession, registry
+
+
+def _clips(n, length, seed):
+    rng = np.random.default_rng(seed)
+    return [(rng.standard_normal(length) * 6000).astype(np.int16) for _ in range(n)]
+
+
+def test_server_matches_independent_sessions_gtcrn():
+    """Two concurrent gtcrn streams with interleaved, irregular pushes must
+    equal two independent StreamingSessions bit-exactly."""
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+
+    clips = _clips(2, 3 * 1024, seed=0)
+    refs = []
+    for c in clips:
+        s = StreamingSession(spec, params, cfg, block_hops=2, jit=False)
+        refs.append(np.concatenate([s.push(c), s.flush()]))
+
+    srv = StreamingServer(spec, params, cfg, max_streams=4, block_hops=2, jit=False)
+    s0, s1 = srv.open(), srv.open()
+    outs = {s0: [], s1: []}
+    # irregular interleaved pushes
+    cuts = [0, 700, 1100, 2048, 3 * 1024]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        outs[s0].append(srv.push(s0, clips[0][a:b]))
+        outs[s1].append(srv.push(s1, clips[1][a:b]))
+    outs[s0].append(srv.flush(s0))
+    outs[s1].append(srv.flush(s1))
+
+    for sid, ref in zip((s0, s1), refs):
+        got = np.concatenate(outs[sid])
+        assert got.shape == ref.shape
+        # batched vs single-lane matmuls reassociate f32 sums: allow 1 LSB
+        np.testing.assert_allclose(got.astype(np.int32), ref.astype(np.int32), atol=1)
+
+
+def test_server_aec_two_inputs():
+    spec = registry.get("sdaec")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(1), cfg)
+    hop = cfg.hop
+    near, far = _clips(2, 4 * hop, seed=1)
+
+    ref_s = StreamingSession(spec, params, cfg, block_hops=2, jit=False)
+    ref = np.concatenate([ref_s.push(near, far), ref_s.flush()])
+
+    srv = StreamingServer(spec, params, cfg, max_streams=2, block_hops=2, jit=False)
+    sid = srv.open()
+    got = np.concatenate([srv.push(sid, near, far), srv.flush(sid)])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_server_lane_reuse_resets_state():
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(2), cfg)
+    clip = _clips(1, 2 * 1024, seed=2)[0]
+
+    srv = StreamingServer(spec, params, cfg, max_streams=1, block_hops=2, jit=False)
+    sid = srv.open()
+    first = np.concatenate([srv.push(sid, clip), srv.flush(sid)])
+    srv.close(sid)
+    with pytest.raises(RuntimeError, match="busy"):
+        srv.open(), srv.open()  # only one lane
+    srv.close(0)
+
+    sid2 = srv.open()  # reused lane must behave like a fresh stream
+    second = np.concatenate([srv.push(sid2, clip), srv.flush(sid2)])
+    np.testing.assert_array_equal(first, second)
+
+
+def test_server_errors():
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(3), cfg)
+    srv = StreamingServer(spec, params, cfg, max_streams=1, jit=False)
+    with pytest.raises(KeyError, match="not open"):
+        srv.push(0, np.zeros(10, np.int16))
+    sid = srv.open()
+    with pytest.raises(ValueError, match="chunk"):
+        srv.push(sid, np.zeros(4, np.int16), np.zeros(4, np.int16))
+    ns = registry.get("zipenhancer")
+    with pytest.raises(ValueError, match="streaming"):
+        StreamingServer(ns, {}, ns.make_config())
