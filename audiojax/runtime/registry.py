@@ -14,21 +14,23 @@ from .manifest import Manifest
 
 _REFERENCE_EXAMPLES = Path("/root/reference/Test_Examples")
 
-# name → (relative demo wav paths per input), mirroring Example_Audio.py:6-21
+# name → (relative demo wav paths per input), mirroring the reference
+# registry (/root/reference/Example_Audio.py:6-21)
 EXAMPLE_AUDIO = {
-    "gtcrn": ("denoise/examples_PM0_OFFICE_16K.wav",),
-    "ul_unas": ("denoise/examples_PM0_OFFICE_16K.wav",),
-    "zipenhancer": ("denoise/examples_PM0_OFFICE_16K.wav",),
-    "mossformergan_se": ("denoise/examples_PM0_OFFICE_16K.wav",),
-    "mossformer2_se": ("denoise/examples_PM1_OFFICE_48K.wav",),
-    "dfsmn": ("denoise/examples_PM1_OFFICE_48K.wav",),
-    "h_gtcrn": ("denoise/examples_PM0_OFFICE_16K.wav",),
+    "gtcrn": ("denoise/gtcrn_mix.wav",),
+    "ul_unas": ("denoise/ul_unas_0174.wav",),
+    "zipenhancer": ("denoise/speech_with_noise1.wav",),
+    "mossformergan_se": ("denoise/speech_with_noise1.wav",),
+    "mossformer2_se": ("denoise/speech_with_noise1.wav",),
+    "dfsmn": ("denoise/speech_with_noise_48k.wav",),
+    "h_gtcrn": ("denoise/h_gtcrn_noisy.wav",),
     "nkf_aec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
     "sdaec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
     "deep_echo": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
     "dfsmn_aec": ("aec/nearend_mic1.wav", "aec/farend_speech1.wav"),
     "mossformer2_ss": ("separation/mixed_speech.wav",),
-    "melband_roformer": ("vocal_separation/音乐人声分离_16K.wav",),
+    "melband_roformer": ("denoise/mel_band_roformer.wav",),
+    "melband_roformer_stereo": ("denoise/mel_band_roformer.wav",),
     "mossformer2_sr": ("super_resolution/basic_ref_zh.wav",),
 }
 

@@ -348,3 +348,17 @@ def test_streaming_session_two_input_aec():
         sess.push(near[:100])
     with pytest.raises(ValueError, match="equal length"):
         sess.push(near[:100], far[:99])
+
+
+def test_example_audio_paths_exist():
+    """Every registry demo-audio entry must point at a real reference wav
+    (Example_Audio.py parity); skips when the reference tree is absent."""
+    from pathlib import Path
+
+    if not Path("/root/reference/Test_Examples").exists():
+        pytest.skip("reference Test_Examples not mounted")
+    for name in registry.names():
+        paths = registry.example_audio(name)
+        assert paths is not None and all(p.exists() for p in paths), (
+            f"{name}: example audio missing: {paths}"
+        )
