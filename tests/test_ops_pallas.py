@@ -38,3 +38,17 @@ def test_pallas_istft_matches_jnp(cfg, length, out_length):
     assert out.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-6)
     np.testing.assert_allclose(out, ref, atol=3e-4 * scale)
+
+
+@pytest.mark.parametrize("n,s,k,v,mask", [(7, 33, 16, 24, False), (4, 20, 8, 8, True)])
+def test_pallas_quad_attention_matches_jnp(n, s, k, v, mask):
+    from audiojax.ops.attention_pallas import quad_attention_jnp, quad_attention_pallas
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((n, s, k)).astype(np.float32))
+    kk = jnp.asarray(rng.standard_normal((n, s, k)).astype(np.float32))
+    vv = jnp.asarray(rng.standard_normal((n, s, v)).astype(np.float32))
+    ref = np.asarray(quad_attention_jnp(q, kk, vv, scale=1.0 / s, mask_diag=mask))
+    out = np.asarray(quad_attention_pallas(q, kk, vv, scale=1.0 / s, mask_diag=mask,
+                                           block_rows=4, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4 * max(np.abs(ref).max(), 1.0))
