@@ -133,7 +133,8 @@ def main(argv=None):
             )
     for w in written:
         print(f"wrote {w}")
-    print(f"RTF: {result.rtf:.4f}  ({result.elapsed_s*1e3:.1f} ms for {result.audio_duration_s:.2f} s audio)")
+    print(f"RTF: {result.rtf:.4f}  ({result.elapsed_s*1e3:.1f} ms for {result.audio_duration_s:.2f} s audio; "
+          f"includes one-off XLA compile — steady-state numbers come from bench.py)")
     return 0
 
 

@@ -21,3 +21,21 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache keeps repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/audiojax_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables after each test module.
+
+    Eager-mode model tests compile hundreds of mini-executables per forward;
+    the cumulative in-process executable count eventually segfaults XLA:CPU's
+    JIT (observed deterministically ~70 tests in).  Clearing per module keeps
+    the count bounded; the persistent on-disk compilation cache keeps repeat
+    compiles cheap.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

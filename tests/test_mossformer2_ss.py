@@ -61,9 +61,14 @@ def test_mossformer2_ss_bf16_close_to_f32():
     params = init_mossformer2_ss(jax.random.PRNGKey(0), cfg)
     audio = jnp.asarray((np.random.default_rng(0).standard_normal(16000) * 6000).astype(np.int16)[None])
 
-    refs = mossformer2_ss_forward(params, audio, cfg)
-    bfs = mossformer2_ss_forward(params, audio,
-                                 dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    # jit both paths: ONE executable each — op-by-op eager execution compiles
+    # hundreds of mini-executables per forward, and the suite's cumulative
+    # executable count can crash XLA:CPU's JIT late in a long process
+    from functools import partial
+
+    refs = jax.jit(partial(mossformer2_ss_forward, cfg=cfg))(params, audio)
+    bf_cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    bfs = jax.jit(partial(mossformer2_ss_forward, cfg=bf_cfg))(params, audio)
     for ref, bf in zip(refs, bfs):
         a = np.asarray(ref).astype(np.float64)
         b = np.asarray(bf).astype(np.float64)
