@@ -64,6 +64,14 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.artifact:
         params, manifest = load_artifact(args.artifact)
+        # artifacts exported with --compute-dtype record it; reproduce unless
+        # the user overrides on the command line
+        recorded = (manifest.extra or {}).get("activation_compute_dtype")
+        if recorded and not args.compute_dtype:
+            import dataclasses
+
+            if any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+                cfg = dataclasses.replace(cfg, compute_dtype=recorded)
     else:
         print(f"note: no --artifact given; using randomly initialised {spec.name} params", file=sys.stderr)
         params = spec.init_params(jax.random.PRNGKey(args.seed), cfg)

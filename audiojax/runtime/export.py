@@ -20,8 +20,16 @@ __all__ = ["export_artifact"]
 
 
 def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
-                    smoke: bool = True, import_kwargs=None):
-    """checkpoint (path or state dict) → artifact dir; returns a report dict."""
+                    smoke: bool = True, import_kwargs=None, compute_dtype=None):
+    """checkpoint (path or state dict) → artifact dir; returns a report dict.
+
+    ``compute_dtype`` ("bfloat16") selects the model's activation compute
+    dtype and is RECORDED in the manifest (``activation_compute_dtype``) so
+    the serving CLI reproduces it when loading the artifact — the analog of
+    the reference deploying a distinct fp16 ONNX file.
+    """
+    import dataclasses
+
     import numpy as np
 
     from ..importers import import_checkpoint
@@ -32,6 +40,10 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
 
     spec = registry.get(model_name)
     cfg = cfg if cfg is not None else spec.make_config()
+    if compute_dtype is not None:
+        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            raise ValueError(f"{model_name} has no compute_dtype knob")
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
 
     if isinstance(ckpt, (str, Path)):
         import torch
@@ -50,6 +62,10 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
                                report_path=out_dir / "import_report.json", **kw)
 
     manifest = spec.make_manifest(cfg)
+    if compute_dtype is not None:
+        manifest = dataclasses.replace(
+            manifest, extra={**manifest.extra, "activation_compute_dtype": compute_dtype}
+        )
     save_artifact(out_dir, params, manifest)
     report = {"artifact": str(out_dir), "model": model_name}
 
@@ -90,11 +106,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True, help="torch checkpoint path")
     ap.add_argument("--out", required=True, help="artifact output directory")
     ap.add_argument("--plan", help="optional optimization plan (see optimize --list-plans)")
+    ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None,
+                    help="activation compute dtype, recorded in the manifest")
     ap.add_argument("--no-smoke", action="store_true", help="skip the inference smoke test")
     args = ap.parse_args(argv)
     plan = PLANS[args.plan] if args.plan else None
     report = export_artifact(args.model, args.checkpoint, args.out,
-                             plan=plan, smoke=not args.no_smoke)
+                             plan=plan, smoke=not args.no_smoke,
+                             compute_dtype=args.compute_dtype)
     print(json.dumps(report))
     return 0
 

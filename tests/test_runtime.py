@@ -362,3 +362,30 @@ def test_example_audio_paths_exist():
         assert paths is not None and all(p.exists() for p in paths), (
             f"{name}: example audio missing: {paths}"
         )
+
+
+def test_export_records_activation_compute_dtype(tmp_path):
+    """--compute-dtype is recorded in the artifact manifest and reproduced at
+    serve time (the analog of deploying the reference's fp16 ONNX file)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_melband import _tiny, _upstream_sd
+
+    from audiojax.models.melband_roformer import band_layout
+    from audiojax.runtime.export import export_artifact
+
+    cfg = _tiny()
+    _, widths, _ = band_layout(cfg)
+    sd = _upstream_sd(cfg, widths)
+    export_artifact("melband_roformer", sd, tmp_path / "art", cfg=cfg,
+                    compute_dtype="bfloat16", smoke=False)
+    _, manifest = load_artifact(tmp_path / "art")
+    assert manifest.extra["activation_compute_dtype"] == "bfloat16"
+
+    # a model without the knob fails closed
+    from test_importers import _gtcrn_state_dict
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        export_artifact("gtcrn", _gtcrn_state_dict(), tmp_path / "art2",
+                        compute_dtype="bfloat16", smoke=False)
