@@ -97,3 +97,42 @@ def test_mesh_session_matches_plain_session():
         out = Session(neg_model, {}, m, mesh=mesh).process(x)
         assert out.outputs[0].shape == ref.outputs[0].shape == (10_500,)
         np.testing.assert_array_equal(out.outputs[0], ref.outputs[0])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_dp_tp_spectral_sharding_matches_single_device():
+    """(dp=4, tp=2): batch over dp AND frequency axis of the spectrum over tp
+    via sharding constraints (XLA inserts the collectives) must equal the
+    unsharded run — the __graft_entry__.dryrun_multichip layout as a pytest."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.dsp import istft_packed, stft_packed
+    from audiojax.dsp.pcm import pcm_in, pcm_out
+    from audiojax.models.gtcrn import GtcrnConfig, gtcrn_net, init_gtcrn
+
+    cfg = GtcrnConfig()
+    params = init_gtcrn(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray((rng.standard_normal((4, 4096)) * 6000).astype(np.int16))
+
+    def step(p, a, spec_sharding=None):
+        x = pcm_in(a)
+        spec = stft_packed(x, cfg.stft)
+        if spec_sharding is not None:
+            spec = jax.lax.with_sharding_constraint(spec, spec_sharding)
+        enhanced = gtcrn_net(p, spec, cfg)
+        if spec_sharding is not None:
+            enhanced = jax.lax.with_sharding_constraint(enhanced, spec_sharding)
+        return pcm_out(istft_packed(enhanced, cfg.stft))
+
+    ref = np.asarray(jax.jit(step)(params, audio))
+
+    mesh = make_mesh(8, tp=2)
+    sharding = NamedSharding(mesh, P("dp", None, "tp"))
+    fn = jax.jit(
+        lambda p, a: step(p, a, sharding),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))),
+        out_shardings=NamedSharding(mesh, P("dp")),
+    )
+    out = np.asarray(fn(replicate(mesh, params), shard_batch(mesh, audio)))
+    np.testing.assert_allclose(out.astype(np.int32), ref.astype(np.int32), atol=1)
