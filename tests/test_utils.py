@@ -68,3 +68,14 @@ def test_quantized_melband_runs():
     # q8f32 outputs track the float model closely
     snr = 10 * np.log10(np.sum(ref**2) / max(np.sum((ref - out) ** 2), 1e-9))
     assert snr > 20, snr
+
+
+def test_inspect_model_report():
+    from audiojax.utils.inspect_model import inspect_model
+
+    rep = inspect_model("gtcrn")
+    assert rep["params"] == 23314  # the reference GTCRN parameter class (~24k)
+    assert rep["gflops_per_chunk"] > 0
+    assert rep["num_audio_inputs"] == 1
+    rep2 = inspect_model("nkf_aec")
+    assert rep2["num_audio_inputs"] == 2
