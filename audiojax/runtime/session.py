@@ -50,10 +50,17 @@ class Session:
     throughput serving of the reference's batch-fold idea (SURVEY.md §2.0).
     """
 
-    def __init__(self, model_fn, params, manifest: Manifest, *, jit: bool = True, mesh=None):
+    def __init__(self, model_fn, params, manifest: Manifest, *, jit: bool = True, mesh=None,
+                 bucket_windows: bool = True):
         self.manifest = manifest
         self.cfg = manifest.runtime_config()
         self.mesh = mesh
+        # Round the window batch up to a power of two so arbitrary clip
+        # lengths reuse at most log2(max_windows) compiled shapes — the
+        # static-shape answer to the reference's dynamic-axes plans
+        # (Optimize_ONNX_Common.py DYNAMIC; MAX_DYNAMIC_AUDIO_SECONDS bounds).
+        # Pad windows are all-zero and dropped again before stitching.
+        self.bucket_windows = bucket_windows
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -95,6 +102,8 @@ class Session:
         # dp sharding needs a whole number of windows per chip; the extra
         # all-zero tail windows are dropped again before stitching
         num_padded = -(-num // self._dp) * self._dp
+        if self.bucket_windows and num_padded > 1:
+            num_padded = self._dp * (1 << (num_padded // self._dp - 1).bit_length())
         return w, stride, num, num_padded
 
     # ── main entry ───────────────────────────────────────────────────────

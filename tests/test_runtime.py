@@ -389,3 +389,24 @@ def test_export_records_activation_compute_dtype(tmp_path):
     with pytest.raises(ValueError, match="compute_dtype"):
         export_artifact("gtcrn", _gtcrn_state_dict(), tmp_path / "art2",
                         compute_dtype="bfloat16", smoke=False)
+
+
+def test_session_window_bucketing():
+    """Window batches round up to power-of-two buckets (bounded compile
+    shapes for arbitrary clip lengths); outputs are unaffected."""
+    m = _manifest(input_audio_length=4000)
+    s = Session(_echo_model, {}, m, jit=False)
+    # 3 real windows -> bucket 4; 5 real windows -> bucket 8
+    assert s._window_geometry(10_500)[2:] == (3, 4)
+    assert s._window_geometry(18_100)[2:] == (5, 8)
+    # same bucket for different lengths => same compiled shape
+    assert s._window_geometry(9_000)[3] == s._window_geometry(12_000)[3] == 4
+
+    for n in (9_000, 10_500, 18_100):
+        x = (np.arange(n) % 1000 - 500).astype(np.int16)
+        res = s.process(x)
+        assert res.outputs[0].shape == (n,)
+        np.testing.assert_array_equal(res.outputs[0], -x)
+
+    off = Session(_echo_model, {}, m, jit=False, bucket_windows=False)
+    assert off._window_geometry(18_100)[2:] == (5, 5)
