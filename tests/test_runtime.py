@@ -410,3 +410,18 @@ def test_session_window_bucketing():
 
     off = Session(_echo_model, {}, m, jit=False, bucket_windows=False)
     assert off._window_geometry(18_100)[2:] == (5, 5)
+
+
+def test_export_artifact_aec_two_inputs(tmp_path):
+    """Export call stack for a two-input AEC family (SDAEC): import →
+    artifact → smoke with (near, far) inputs."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_importers import _sdaec_state_dict
+
+    from audiojax.runtime.export import export_artifact
+
+    report = export_artifact("sdaec", _sdaec_state_dict(), tmp_path / "art")
+    assert report["smoke"]["outputs"] == 1
+    assert report["smoke"]["out_samples"] > 0
