@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dsp import StftConfig, istft_packed, stft_packed
+from ..dsp import StftConfig, stft_packed
 from ..dsp.pcm import fold_windows, pcm_in, pcm_out, remove_dc, resample_linear, unfold_windows
 from ..nn import core, rnn
 from ..nn.erb import erb_compress, erb_expand

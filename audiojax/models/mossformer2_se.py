@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dsp import StftConfig, frame_signal, istft_packed
+from ..dsp import StftConfig, frame_signal
 from ..dsp.pcm import INV_INT16, fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
 from ..dsp.stft import _stft_basis_np
 from ..frontend.kaldi import log_mel_fbank

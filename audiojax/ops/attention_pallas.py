@@ -13,10 +13,9 @@ VMEM — only Q, K, V in and O out touch HBM.
 Measured on v5e at the production shapes (GAN quad (964,101,128), FLASH
 (16,256,128→2048), GAN cross (404,241,128)): the kernel TIES XLA's batched-
 matmul lowering (±10%) — at these sizes both are MXU-occupancy-bound on
-sub-128 tiles, not HBM-bound, so the models keep the jnp path
-(``quad_attention`` auto-selects it only on TPU where it is not slower).
-Retained for larger-S workloads where the (N, S, S) HBM intermediate
-dominates.
+sub-128 tiles, not HBM-bound.  ``quad_attention`` therefore always takes the
+jnp path; call :func:`quad_attention_pallas` explicitly for larger-S
+workloads where the (N, S, S) HBM intermediate dominates.
 """
 from __future__ import annotations
 

@@ -154,13 +154,13 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     need = (blocks - 1) * tb + n_rows
     # zero-front pad k_seg-1 frames (halo for row 0) + tail pad to the strip grid
     front = k_seg - 1
+    # tail >= k_seg-1 always: need = (blocks-1)·tb + n_rows ≥ m_rows + k_seg−1
+    # = n_t + 2·front, so the pad below never truncates
     tail = need - (n_t + front)
     # Mosaic HBM slices need 128-aligned lanes: zero-pad the 2F axis (and the
     # matching ibasis rows — zero rows contribute nothing to the iDFT matmul)
     fb2_pad = -(-fb2 // 128) * 128
-    spec_p = jnp.pad(spec, [(0, 0), (front, max(tail, 0)), (0, fb2_pad - fb2)])
-    if tail < 0:
-        spec_p = spec_p[:, :need]
+    spec_p = jnp.pad(spec, [(0, 0), (front, tail), (0, fb2_pad - fb2)])
 
     ibasis = jnp.asarray(_istft_basis_np(cfg))
     if fb2_pad != fb2:

@@ -209,7 +209,55 @@ class StreamingServer:
         self._lanes[sid] = None
 
     def push(self, sid: int, *chunks: np.ndarray) -> np.ndarray:
-        """Feed int16 samples for stream ``sid``; returns ready samples."""
+        """Feed int16 samples for stream ``sid``; returns ready samples.
+
+        Each full block runs one batch step with only this lane active — fine
+        for a single live stream.  With several concurrent streams use
+        :meth:`push_many`, which advances ALL ready lanes in one step.
+        """
+        lane = self._buffer(sid, chunks)
+        outs = []
+        while lane.residuals[0].shape[0] >= self.block:
+            outs.append(self._tick({sid: [r[: self.block] for r in lane.residuals]})[sid])
+            lane.residuals = [r[self.block :] for r in lane.residuals]
+        if not outs:
+            return np.zeros(0, np.int16)
+        return self._align(lane, np.concatenate(outs))
+
+    def push_many(self, chunks_by_sid: dict) -> dict:
+        """Feed several streams at once; ALL lanes with a full block advance
+        together in one batched device step per block round — the multi-
+        tenant hot path (one (max_streams, block) executable, shared ticks).
+
+        ``chunks_by_sid``: {sid: chunk} for one-input models or
+        {sid: (chunk, far_chunk)} for AEC.  Returns {sid: ready samples} for
+        every lane that produced output this call.
+        """
+        for sid, chunks in chunks_by_sid.items():
+            if not isinstance(chunks, (tuple, list)):
+                chunks = (chunks,)
+            self._buffer(sid, chunks)
+        pending: dict[int, list] = {}
+        while True:
+            ready = {
+                sid: lane
+                for sid, lane in enumerate(self._lanes)
+                if lane is not None and lane.residuals[0].shape[0] >= self.block
+            }
+            if not ready:
+                break
+            tick_in = {sid: [r[: self.block] for r in lane.residuals]
+                       for sid, lane in ready.items()}
+            res = self._tick(tick_in)
+            for sid, lane in ready.items():
+                lane.residuals = [r[self.block :] for r in lane.residuals]
+                pending.setdefault(sid, []).append(res[sid])
+        return {
+            sid: self._align(self._lanes[sid], np.concatenate(parts))
+            for sid, parts in pending.items()
+        }
+
+    def _buffer(self, sid: int, chunks) -> "_Lane":
         lane = self._require(sid)
         if len(chunks) != self.n_inputs:
             raise ValueError(f"push expects {self.n_inputs} chunk(s), got {len(chunks)}")
@@ -218,13 +266,7 @@ class StreamingServer:
             raise ValueError("all input chunks must have equal length")
         lane.pushed += arrs[0].shape[0]
         lane.residuals = [np.concatenate([r, a]) for r, a in zip(lane.residuals, arrs)]
-        outs = []
-        while lane.residuals[0].shape[0] >= self.block:
-            outs.append(self._tick({sid: [r[: self.block] for r in lane.residuals]})[sid])
-            lane.residuals = [r[self.block :] for r in lane.residuals]
-        if not outs:
-            return np.zeros(0, np.int16)
-        return self._align(lane, np.concatenate(outs))
+        return lane
 
     def flush(self, sid: int) -> np.ndarray:
         """Drain stream ``sid`` (zero padding); total out length == total in."""

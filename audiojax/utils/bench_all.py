@@ -121,10 +121,10 @@ def main(argv=None):
     names = args.models.split(",") if args.models else registry.names()
     rows = []
     for name in names:
-        spec = registry.get(name)
-        try:
+        try:  # keep sweeping on any per-model failure (unknown names included)
+            spec = registry.get(name)
             row = bench_model(name, iters=args.iters)
-        except Exception as e:  # keep sweeping; report the failure
+        except Exception as e:
             row = {"model": name, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(row), flush=True)
         rows.append(row)

@@ -28,6 +28,8 @@ def inspect_model(name: str, compute_dtype: str | None = None) -> dict:
     spec = registry.get(name)
     cfg = spec.make_config()
     if compute_dtype is not None:
+        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            raise ValueError(f"{name} has no compute_dtype knob")
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     man = spec.make_manifest(cfg)
     rc = man.runtime_config()
@@ -79,12 +81,14 @@ def main(argv=None):
     names = registry.names() if args.all else [args.model]
     if not names or names == [None]:
         ap.error("--model or --all is required")
+    failed = 0
     for n in names:
         try:
             print(json.dumps(inspect_model(n, args.compute_dtype)), flush=True)
         except Exception as e:
+            failed += 1
             print(json.dumps({"model": n, "error": f"{type(e).__name__}: {e}"}), flush=True)
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -86,7 +86,9 @@ def main():
     ss_row = bench_model("mossformer2_ss", iters=20, compute_dtype="bfloat16")
     mb_row = bench_model("melband_roformer", iters=20, compute_dtype="bfloat16")
     results["m2ss_bf16"] = ss_row["rtf"]
+    results["m2ss_vs_baseline"] = ss_row["vs_baseline"]  # baselines live in bench_all
     results["melband_bf16"] = mb_row["rtf"]
+    results["melband_vs_baseline"] = mb_row["vs_baseline"]
 
     # streaming RTF: 64 ms blocks through the state-carry step, steps chained
     # on-device via the carried state (only the final transfer syncs)
@@ -124,9 +126,9 @@ def main():
                 "mossformer2_se_bf16_vs_baseline": round(
                     BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
                 "mossformer2_ss_bf16_rtf": round(results["m2ss_bf16"], 6),
-                "mossformer2_ss_bf16_vs_baseline": round(2.63 / results["m2ss_bf16"], 2),
+                "mossformer2_ss_bf16_vs_baseline": results["m2ss_vs_baseline"],
                 "melband_bf16_rtf": round(results["melband_bf16"], 6),
-                "melband_bf16_vs_baseline": round(1.40 / results["melband_bf16"], 2),
+                "melband_bf16_vs_baseline": results["melband_vs_baseline"],
                 "chip": str(jax.devices()[0]),
             }
         )

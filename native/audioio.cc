@@ -184,13 +184,16 @@ int normalise_rms_i16(const int16_t* in, int64_t n, double target_rms, int16_t* 
     memcpy(out, in, (size_t)n * 2);
     return 0;
   }
-  // f32 parity with the numpy reference (float32 math end to end)
+  // Scale in f32 like the numpy fallback; truncate toward zero to match its
+  // astype(int16). The RMS itself accumulates in double (serial) vs numpy's
+  // float32 pairwise sum, so outputs may differ by 1 LSB between the native
+  // and numpy paths — bounded by tests/test_native.py.
   float scale = (float)target_rms / ((float)rms + 1e-7f);
   for (int64_t i = 0; i < n; ++i) {
     float v = (float)in[i] * scale;
     if (v > 32767.0f) v = 32767.0f;
     if (v < -32768.0f) v = -32768.0f;
-    out[i] = (int16_t)lrintf(v);
+    out[i] = (int16_t)v;  // C cast truncates toward zero = numpy astype
   }
   return 0;
 }

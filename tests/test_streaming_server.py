@@ -91,3 +91,34 @@ def test_server_errors():
     ns = registry.get("zipenhancer")
     with pytest.raises(ValueError, match="streaming"):
         StreamingServer(ns, {}, ns.make_config())
+
+
+def test_push_many_single_step_per_block_round():
+    """push_many advances all ready lanes in ONE device step per block round
+    (the multi-tenant hot path), and matches independent sessions."""
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(4), cfg)
+    clips = _clips(3, 512, seed=4)  # exactly one block at block_hops=2 (2·256)
+
+    refs = []
+    for c in clips:
+        s = StreamingSession(spec, params, cfg, block_hops=2, jit=False)
+        refs.append(np.concatenate([s.push(c), s.flush()]))
+
+    srv = StreamingServer(spec, params, cfg, max_streams=4, block_hops=2, jit=False)
+    sids = [srv.open() for _ in range(3)]
+    steps = {"n": 0}
+    inner = srv._step
+
+    def counting_step(*a, **k):
+        steps["n"] += 1
+        return inner(*a, **k)
+
+    srv._step = counting_step
+    outs = srv.push_many({sid: c for sid, c in zip(sids, clips)})
+    assert steps["n"] == 1  # 3 streams, 1 block each -> ONE batched step
+    for sid, ref in zip(sids, refs):
+        tail = srv.flush(sid)
+        got = np.concatenate([outs.get(sid, np.zeros(0, np.int16)), tail])
+        np.testing.assert_allclose(got.astype(np.int32), ref.astype(np.int32), atol=1)
