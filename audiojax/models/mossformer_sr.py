@@ -93,7 +93,10 @@ def upsample_sinc(audio, cfg: MossFormerSrConfig):
     """int16 (B, L) → normalised (B, ratio*L) via polyphase sinc interpolation.
 
     Realised as zero-stuffing + banded-GEMM FIR (dsp.fir) — the ConvTranspose
-    form uses one MXU lane in 128 and is ~5× slower on chip."""
+    form uses one MXU lane in 128 and is ~5× slower on chip.  The stuffed
+    zeros make ratio−1 of every ratio MACs structural zeros; a true polyphase
+    split would save them, but at ~0.4 GFLOP the GEMM is already bandwidth-
+    trivial, so the simpler form is kept."""
     from ..dsp.fir import fir_gemm, upsample_zero_stuff
 
     ratio, hw = cfg.upsample_ratio, cfg.resample_halfwidth

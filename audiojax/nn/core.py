@@ -76,7 +76,11 @@ def _dw_shift_conv(w, x, pads, dilations):
 
     x: (B, *spatial, C); w: (*k, 1, C) with Cout == C (multiplier 1).
     ``pads``/``dilations``: per spatial axis.  Stride 1 only.
+    Accumulates in f32 (like lax.conv's MXU accumulator) so bf16 inputs don't
+    round tap-by-tap; the result is cast back to the input dtype.
     """
+    if w.dtype != x.dtype:  # match the lax.conv branch's trace-time error
+        raise TypeError(f"conv dtype mismatch: x {x.dtype} vs w {w.dtype}")
     spatial = w.ndim - 2
     pad_cfg = [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)]
     if any(lo or hi for lo, hi in pad_cfg):
@@ -90,9 +94,9 @@ def _dw_shift_conv(w, x, pads, dilations):
             slice(tap[a] * dilations[a], tap[a] * dilations[a] + out_shape[a])
             for a in range(spatial)
         )
-        term = x[idx] * w[tap][0]
+        term = (x[idx] * w[tap][0]).astype(jnp.float32)
         acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(x.dtype)
 
 
 def _grouped_single_out_conv1d(w, x, pads, dilation):
@@ -102,6 +106,8 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
     [g·m, (g+1)·m).  Generalises the depthwise (m=1) case; same rationale as
     :func:`_dw_shift_conv` (feature_group_count lowering is pathological on
     TPU for small maps)."""
+    if w.dtype != x.dtype:  # match the lax.conv branch's trace-time error
+        raise TypeError(f"conv dtype mismatch: x {x.dtype} vs w {w.dtype}")
     k, m, g = w.shape
     lo, hi = pads
     if lo or hi:
@@ -112,9 +118,10 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
     for i in range(k):
         seg = lax.slice_in_dim(xr, i * dilation, i * dilation + t_out, axis=1)
         for r in range(m):
-            term = seg[..., r] * w[i, r]
+            # f32 accumulation (lax.conv parity); cast back at the end
+            term = (seg[..., r] * w[i, r]).astype(jnp.float32)
             acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(x.dtype)
 
 
 def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):

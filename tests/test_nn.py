@@ -82,6 +82,26 @@ def test_conv1d_depthwise_fast_path_matches_torch(k, pad, dilation):
     np.testing.assert_allclose(np.asarray(y).transpose(0, 2, 1), ref, atol=1e-5)
 
 
+def test_conv1d_depthwise_fast_path_bf16_accumulates_f32():
+    """bf16 inputs through the unrolled path must not round tap-by-tap: the
+    f32 accumulator keeps error at single-rounding level (~0.5% mean)."""
+    rng = np.random.default_rng(7)
+    c, k, t = 32, 39, 60
+    x = rng.standard_normal((2, t, c)).astype(np.float32)
+    w = (rng.standard_normal((k, 1, c)) * 0.2).astype(np.float32)
+    p32 = {"w": jnp.asarray(w)}
+    ref = np.asarray(core.conv1d(p32, jnp.asarray(x), padding=(k - 1) // 2, groups=c))
+    pb = {"w": jnp.asarray(w, jnp.bfloat16)}
+    out = np.asarray(core.conv1d(pb, jnp.asarray(x, jnp.bfloat16),
+                                 padding=(k - 1) // 2, groups=c)).astype(np.float32)
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-3)
+    assert rel.mean() < 0.01, rel.mean()
+
+    # mismatched dtypes fail at trace time, like the lax branch
+    with pytest.raises(TypeError, match="dtype mismatch"):
+        core.conv1d(p32, jnp.asarray(x, jnp.bfloat16), padding=(k - 1) // 2, groups=c)
+
+
 @pytest.mark.parametrize("m,dil", [(2, 1), (3, 2)])
 def test_conv1d_grouped_single_out_fast_path_matches_torch(m, dil):
     """Grouped conv with one output channel per group (the MossFormer2-SS
