@@ -66,7 +66,7 @@ def h_gtcrn_forward(params, audio, cfg: HGtcrnConfig = HGtcrnConfig()):
     if padded != model_len:
         x = jnp.pad(x, [(0, 0), (0, 0), (0, padded - model_len)])
 
-    from ..ops.stft_pallas import fast_stft_packed
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
 
     packed = fast_stft_packed(x.reshape(b * 2, -1), cfg.stft)  # Pallas-fused on TPU
     re, im = packed[..., : cfg.stft.f_bins], packed[..., cfg.stft.f_bins :]  # (2B, T, F)
@@ -100,8 +100,6 @@ def h_gtcrn_forward(params, audio, cfg: HGtcrnConfig = HGtcrnConfig()):
     re0, im0 = spec[:, 0].real, spec[:, 0].imag
     s_re = re0 * m[..., 0] - im0 * m[..., 1]
     s_im = im0 * m[..., 0] + re0 * m[..., 1]
-    from ..ops.stft_pallas import fast_istft_packed
-
     y = fast_istft_packed(jnp.concatenate([s_re, s_im], axis=-1), cfg.stft)
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:

@@ -50,8 +50,9 @@ class MelBandConfig:
     out_sample_rate: int = 44100
     fold_window: int = 0
     # bf16 transformer compute with an f32 complex-mask/ISTFT island; the
-    # reference even recommends dynamic INT8 for this model (README.md:93), so
-    # bf16 is comfortably inside its quantization tolerance.
+    # reference even recommends dynamic INT8 for this model
+    # (/root/reference/README.md:93), so bf16 is comfortably inside its
+    # quantization tolerance.
     compute_dtype: str = "float32"
 
     @property

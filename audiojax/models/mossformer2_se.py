@@ -145,7 +145,7 @@ def mossformer2_se_forward(params, audio, cfg: MossFormer2SeConfig = MossFormer2
     masked = spec * jnp.concatenate([mask, mask], axis=-1)
     from ..ops.stft_pallas import fast_istft_packed
 
-    y = fast_istft_packed(masked, cfg.istft_cfg if hasattr(cfg, "istft_cfg") else cfg.frame_cfg)
+    y = fast_istft_packed(masked, cfg.frame_cfg)
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)
