@@ -52,7 +52,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, tb, scale, mask_diag):
             rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
             attn = jnp.where(rows == cols, 0.0, attn)
-        o_ref[i] = jnp.dot(attn.astype(v_ref.dtype), v_ref[i],
+        # keep attn in f32 for the PV matmul (same contract as the jnp path)
+        o_ref[i] = jnp.dot(attn, v_ref[i].astype(jnp.float32),
                            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 

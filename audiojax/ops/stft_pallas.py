@@ -43,7 +43,8 @@ def fast_stft_packed(x, cfg: StftConfig):
 
     from ..dsp.stft import stft_packed as _jnp_stft
 
-    if pallas_supported(cfg) and _jax.default_backend() == "tpu":
+    if (pallas_supported(cfg) and _jax.default_backend() == "tpu"
+            and x.ndim == 2 and x.dtype == jnp.float32):  # kernel contract
         return stft_packed_pallas(x, cfg)
     return _jnp_stft(x, cfg)
 
@@ -54,7 +55,8 @@ def fast_istft_packed(spec, cfg: StftConfig, out_length: int | None = None):
 
     from ..dsp.stft import istft_packed as _jnp_istft
 
-    if pallas_supported(cfg) and _jax.default_backend() == "tpu":
+    if (pallas_supported(cfg) and _jax.default_backend() == "tpu"
+            and spec.ndim == 3 and spec.dtype == jnp.float32):  # kernel contract
         return istft_packed_pallas(spec, cfg, out_length=out_length)
     return _jnp_istft(spec, cfg, out_length)
 
@@ -82,7 +84,8 @@ def stft_packed_pallas(x: jnp.ndarray, cfg: StftConfig, *, frames_per_block: int
     n_t = (padded - cfg.n_fft) // cfg.hop + 1
     fb2 = 2 * cfg.f_bins
 
-    tb = min(frames_per_block, -(-n_t // 8) * 8)  # sublane-aligned block
+    tb = min(frames_per_block, -(-n_t // 8) * 8)
+    tb = -(-tb // 8) * 8  # the kernel's pl.multiple_of(i·tb, 8) hint requires it
     blocks = -(-n_t // tb)
     k_seg = -(-cfg.n_fft // cfg.hop)
     n_rows = -(-(tb + k_seg - 1) // 8) * 8  # aligned strip height
@@ -149,6 +152,7 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     k_seg = -(-cfg.n_fft // cfg.hop)
     m_rows = n_t + k_seg - 1  # raw OLA hop-rows
     tb = min(frames_per_block, -(-m_rows // 8) * 8)
+    tb = -(-tb // 8) * 8  # the kernel's pl.multiple_of(i·tb, 8) hint requires it
     blocks = -(-m_rows // tb)
     n_rows = -(-(tb + k_seg - 1) // 8) * 8  # aligned halo strip height
     need = (blocks - 1) * tb + n_rows

@@ -56,10 +56,9 @@ def main(argv=None):
     if args.compute_dtype:
         import dataclasses
 
-        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
-            print(f"{spec.name} has no compute_dtype knob (supported: "
-                  f"{[n for n in registry.names() if any(f.name == 'compute_dtype' for f in dataclasses.fields(registry.get(n).make_config()))]})",
-                  file=sys.stderr)
+        if not registry.has_compute_dtype(cfg):
+            print(f"{spec.name} has no compute_dtype knob; see the README's "
+                  "bf16 model list or `inspect_model --all`", file=sys.stderr)
             return 2
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     if args.artifact:
@@ -70,7 +69,7 @@ def main(argv=None):
         if recorded and not args.compute_dtype:
             import dataclasses
 
-            if any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+            if registry.has_compute_dtype(cfg):
                 cfg = dataclasses.replace(cfg, compute_dtype=recorded)
     else:
         print(f"note: no --artifact given; using randomly initialised {spec.name} params", file=sys.stderr)

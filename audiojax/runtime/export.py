@@ -41,7 +41,7 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
     spec = registry.get(model_name)
     cfg = cfg if cfg is not None else spec.make_config()
     if compute_dtype is not None:
-        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+        if not registry.has_compute_dtype(cfg):
             raise ValueError(f"{model_name} has no compute_dtype knob")
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
 

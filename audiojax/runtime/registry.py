@@ -69,6 +69,13 @@ def names() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def has_compute_dtype(cfg) -> bool:
+    """True when a model config exposes the activation ``compute_dtype`` knob."""
+    return dataclasses.is_dataclass(cfg) and any(
+        f.name == "compute_dtype" for f in dataclasses.fields(cfg)
+    )
+
+
 def example_audio(name: str) -> tuple[Path, ...] | None:
     rel = EXAMPLE_AUDIO.get(name)
     if rel is None:

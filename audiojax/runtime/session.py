@@ -151,7 +151,10 @@ class Session:
         scale = self.cfg["INPUT_TO_OUTPUT_SCALE"]
         out_total = int(round(n * scale))
         head_out = int(round(pad_head * scale))
-        stitched = tuple(self._stitch(o, stride, scale)[head_out : head_out + out_total] for o in outs)
+        # trim on the TIME axis — outputs may be (num, w) or (num, ch, w)
+        stitched = tuple(
+            self._stitch(o, stride, scale)[..., head_out : head_out + out_total] for o in outs
+        )
 
         duration = out_total / self.cfg["OUT_SAMPLE_RATE"]
         return SessionResult(
@@ -162,14 +165,21 @@ class Session:
         )
 
     def _stitch(self, windows: np.ndarray, stride_in: int, scale: float) -> np.ndarray:
-        """(num, w_out) → (n,): butt-join, or Hann-taper OLA when overlapped."""
+        """(num, [ch,] w_out) → ([ch,] n): butt-join, or Hann-taper OLA when
+        overlapped; multi-channel outputs stitch per channel."""
         num, w_out = windows.shape[0], windows.shape[-1]
         stride_out = int(round(stride_in * scale))
         if num == 1:
             return windows[0]
         overlap = w_out - stride_out
         if overlap <= 0:
-            return windows.reshape(-1)
+            # butt-join along TIME, preserving any channel axis:
+            # (num, ..., w) → (..., num·w)
+            return np.moveaxis(windows, 0, -2).reshape(*windows.shape[1:-1], num * w_out)
+        if windows.ndim == 3:  # (num, ch, w): OLA each channel independently
+            return np.stack(
+                [self._stitch(windows[:, c], stride_in, scale) for c in range(windows.shape[1])]
+            )
         from . import native as _native
 
         if windows.dtype == np.int16 and _native.available():

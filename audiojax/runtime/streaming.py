@@ -152,7 +152,8 @@ class StreamingServer:
         # frequency LSTM states (B·F, H)). Locate each leaf's batch axis by
         # comparing the batch-1 and batch-K state shapes; folds are B-major,
         # so viewing that axis as (K, sub) recovers the lane dimension.
-        ref1 = jax.tree_util.tree_leaves(init_fn(1))
+        self._fresh1 = init_fn(1)  # cached batch-1 state for lane resets
+        ref1 = jax.tree_util.tree_leaves(self._fresh1)
         refk = jax.tree_util.tree_leaves(self._state)
         self._treedef = jax.tree_util.tree_structure(self._state)
         self._bmeta = []
@@ -298,7 +299,7 @@ class StreamingServer:
     def _reset_lane(self, i: int) -> None:
         import jax
 
-        fresh_leaves = jax.tree_util.tree_leaves(self._init_fn(1))
+        fresh_leaves = jax.tree_util.tree_leaves(self._fresh1)
         state_leaves = jax.tree_util.tree_leaves(self._state)
         out = []
         for s, f, (axis, sub) in zip(state_leaves, fresh_leaves, self._bmeta):

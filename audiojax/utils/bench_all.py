@@ -58,7 +58,7 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
     spec = registry.get(name)
     cfg = spec.make_config()
     if compute_dtype is not None:
-        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+        if not registry.has_compute_dtype(cfg):
             raise ValueError(f"{name} has no compute_dtype knob")
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     man = spec.make_manifest(cfg)
@@ -131,7 +131,7 @@ def main(argv=None):
         if args.no_bf16 or "error" in row:
             continue
         cfg = spec.make_config()
-        if any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+        if registry.has_compute_dtype(cfg):
             try:
                 row = bench_model(name, iters=args.iters, compute_dtype="bfloat16")
             except Exception as e:

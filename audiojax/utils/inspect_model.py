@@ -28,7 +28,7 @@ def inspect_model(name: str, compute_dtype: str | None = None) -> dict:
     spec = registry.get(name)
     cfg = spec.make_config()
     if compute_dtype is not None:
-        if not any(f.name == "compute_dtype" for f in dataclasses.fields(cfg)):
+        if not registry.has_compute_dtype(cfg):
             raise ValueError(f"{name} has no compute_dtype knob")
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     man = spec.make_manifest(cfg)

@@ -425,3 +425,29 @@ def test_export_artifact_aec_two_inputs(tmp_path):
     report = export_artifact("sdaec", _sdaec_state_dict(), tmp_path / "art")
     assert report["smoke"]["outputs"] == 1
     assert report["smoke"]["out_samples"] > 0
+
+
+def test_session_stereo_multiwindow_stitch():
+    """Multi-window STEREO outputs stitch along time per channel (previously
+    reshape(-1) interleaved windows and channels — scrambled audio)."""
+    m = _manifest(input_audio_length=4000, input_channels=2, output_channels=2)
+    s = Session(_echo_model, {}, m, jit=False)
+    x = np.stack([np.arange(10_500) % 2000 - 1000,
+                  np.arange(10_500) % 1500 - 750]).astype(np.int16)
+    res = s.process(x)
+    assert res.outputs[0].shape == (2, 10_500)
+    np.testing.assert_array_equal(res.outputs[0], -x)
+
+    # single-window stereo: trim must hit the time axis, not channels
+    y = x[:, :3000]
+    res1 = s.process(y)
+    assert res1.outputs[0].shape == (2, 3000)
+    np.testing.assert_array_equal(res1.outputs[0], -y)
+
+    # overlapped stereo (SR-style OLA) stitches per channel
+    mo = _manifest(input_audio_length=4000, input_channels=2, output_channels=2,
+                   overlap_length=1000)
+    so = Session(_echo_model, {}, mo, jit=False)
+    reso = so.process(x)
+    assert reso.outputs[0].shape == (2, 10_500)
+    np.testing.assert_array_equal(reso.outputs[0], -x)
