@@ -30,6 +30,13 @@ def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} JAX device(s) are visible "
+                    f"({devices!r}); for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+                    f"and --xla_force_host_platform_device_count before jax init"
+                )
             devices = devices[:n_devices]
     n = len(devices)
     if n % tp:

@@ -136,3 +136,22 @@ def test_dp_tp_spectral_sharding_matches_single_device():
     )
     out = np.asarray(fn(replicate(mesh, params), shard_batch(mesh, audio)))
     np.testing.assert_allclose(out.astype(np.int32), ref.astype(np.int32), atol=1)
+
+
+def test_graft_entry_dryrun_multichip_end_to_end():
+    """The driver's multi-chip check, verbatim: __graft_entry__.dryrun_multichip(8)
+    must re-exec itself onto a virtual 8-device CPU mesh and run one sharded
+    step + one Session request (MULTICHIP_r0N.json must be green)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("__graft_entry__", root / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)  # raises on child failure
+
+
+def test_make_mesh_too_few_devices_fails_loudly():
+    with pytest.raises(ValueError, match="requested a 64-device mesh"):
+        make_mesh(64)
