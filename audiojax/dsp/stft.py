@@ -154,10 +154,12 @@ def _inv_win_sum_np(cfg: StftConfig, n_frames: int, out_length: int | None) -> n
     for t in range(n_frames):
         acc[t * cfg.hop : t * cfg.hop + cfg.n_fft] += w2
     start = cfg.half if cfg.center else 0
-    end = raw - cfg.half if cfg.center else raw
+    # out_length follows the reference's exact-output_length contract
+    # (/root/reference/SDAEC/STFT_Process.py:178: out_end = out_start +
+    # output_length): the slice may extend INTO the right centre-pad region,
+    # normalised by the decaying COLA sum there — NOT trim-both-pads-then-cut.
+    end = start + out_length if out_length is not None else (raw - start)
     acc = acc[start:end]
-    if out_length is not None:
-        acc = acc[:out_length]
     inv = np.where(acc == 0.0, 1.0, 1.0 / np.where(acc == 0.0, 1.0, acc))
     return (inv * cfg.output_scale).astype(np.float32)
 
@@ -288,10 +290,13 @@ def istft_packed(
     frames = jnp.einsum("...tf,fn->...tn", spec, ibasis, preferred_element_type=jnp.float32, precision=_DFT_PRECISION)
     raw = overlap_add(frames, cfg.hop)
     start = cfg.half if cfg.center else 0
-    end = raw.shape[-1] - (cfg.half if cfg.center else 0)
-    out = raw[..., start:end]
     if out_length is not None:
-        out = out[..., :out_length]
+        # reference semantics (SDAEC/STFT_Process.py:178): exactly out_length
+        # samples from out_start, extending into the right centre-pad region
+        end = start + out_length
+    else:
+        end = raw.shape[-1] - start
+    out = raw[..., start:end]
     inv = jnp.asarray(_inv_win_sum_np(cfg, n_t, out_length))
     return out * inv
 

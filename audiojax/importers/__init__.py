@@ -24,7 +24,7 @@ from pathlib import Path
 from . import common
 from .common import KeyTracker, unwrap_state_dict
 from .dfsmn import import_dfsmn
-from .gtcrn import import_gtcrn
+from .gtcrn import import_gtcrn, import_h_gtcrn
 from .deep_echo import import_deep_echo
 from .dfsmn_aec import import_dfsmn_aec
 from .melband import import_melband
@@ -49,7 +49,7 @@ _IMPORTERS = {
     # /root/reference/H-GTCRN/Export_H_GTCRN.py:383-447); the first encoder
     # conv simply has 18 input channels (6 spatial features × SFE), which the
     # shape-agnostic BN fusions handle unchanged.
-    "h_gtcrn": import_gtcrn,
+    "h_gtcrn": import_h_gtcrn,
     "dfsmn_aec": import_dfsmn_aec,
     "ul_unas": import_ul_unas,
     "mossformer2_se": import_mossformer2_se,

@@ -85,11 +85,37 @@ def _dpgrnn(sd, key):
     }
 
 
+def _consume_erb(sd, n_low: int, n_erb: int, n_fft: int = 512, scale: float = 21.4):
+    """Consume + verify the checkpoint's ERB filter bank (fail-closed).
+
+    The upstream checkpoints carry the analytic triangular bank as frozen
+    parameters (`erb.erb_fc.weight`, /root/reference/GTCRN/Export_GTCRN.py:66-68);
+    our models bake the same bank in as a compile-time constant
+    (audiojax/nn/erb.py), so a checkpoint whose bank drifts from the formula
+    would silently change the network — verify instead of trusting."""
+    from ..nn.erb import erb_filters
+
+    for key, transpose in (("erb.erb_fc.weight", False), ("erb.ierb_fc.weight", True)):
+        if key not in sd:
+            continue
+        got = to_np(sd[key]).astype(np.float64)
+        want = erb_filters(n_low, n_erb, n_fft, scale=scale).astype(np.float64)
+        if transpose:
+            want = want.T
+        if got.shape != want.shape or not np.allclose(got, want, atol=1e-5):
+            raise ValueError(
+                f"checkpoint {key} {got.shape} does not match the analytic "
+                f"ERB bank {want.shape} the model bakes in (n_low={n_low}, "
+                f"n_erb={n_erb}); refusing to import"
+            )
+
+
 def import_gtcrn(ckpt):
     """Upstream GTCRN checkpoint (state dict or wrapped) → audiojax params."""
     import jax
 
     sd = unwrap_state_dict(ckpt)
+    _consume_erb(sd, 65, 64)
     params = {
         "enc0": _conv_block(sd, "encoder.en_convs.0"),
         "enc1": _conv_block(sd, "encoder.en_convs.1", groups=2),
@@ -102,4 +128,50 @@ def import_gtcrn(ckpt):
         params[f"enc_gt{i}"] = _gt_block(sd, f"encoder.en_convs.{src}")
     for i in range(3):
         params[f"dec_gt{i}"] = _gt_block(sd, f"decoder.de_convs.{i}", deconv=True)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _gt_block_nested(sd, key, deconv=False):
+    """H-GTCRN GTConvBlock: conv/bn/act nested under point_conv1 /
+    depth_conv / point_conv2 sub-modules (the GTCRN-IVA checkpoint layout,
+    /root/reference/H-GTCRN/Export_H_GTCRN.py:195-300) instead of plain
+    GTCRN's flat point_conv1 + point_bn1 naming."""
+    fuse = fuse_bn_deconv2d if deconv else fuse_bn_conv2d
+    pc1 = fuse(sd, f"{key}.point_conv1.conv", f"{key}.point_conv1.bn")
+    pc1["alpha"] = to_np(sd[f"{key}.point_conv1.act.weight"]).astype(np.float32)
+    hidden = pc1["w"].shape[-1]
+    return {
+        "pc1": pc1,
+        "depth": fuse(sd, f"{key}.depth_conv.conv", f"{key}.depth_conv.bn", groups=hidden),
+        "depth_a": {"alpha": to_np(sd[f"{key}.depth_conv.act.weight"]).astype(np.float32)},
+        "pc2": fuse(sd, f"{key}.point_conv2.conv", f"{key}.point_conv2.bn"),
+        "tra": _tra(sd, f"{key}.tra"),
+    }
+
+
+def import_h_gtcrn(ckpt):
+    """Upstream H-GTCRN (GTCRN-IVA) checkpoint → audiojax params.
+
+    Same macro-structure as GTCRN (2 ConvBlocks + 3 GTConvBlocks per side,
+    2 DPGRNNs) but with the GT blocks' conv/bn/act nested one level deeper
+    and the first encoder conv widened to the 18-channel spatial features
+    (/root/reference/H-GTCRN/Export_H_GTCRN.py:380-427)."""
+    import jax
+
+    sd = unwrap_state_dict(ckpt)
+    _consume_erb(sd, 65, 64, scale=24.7)
+    params = {
+        "enc0": _conv_block(sd, "encoder.en_convs.0"),
+        "enc1": _conv_block(sd, "encoder.en_convs.1", groups=2),
+        "dp1": _dpgrnn(sd, "dpgrnn1"),
+        "dp2": _dpgrnn(sd, "dpgrnn2"),
+        "dec1": _conv_block(sd, "decoder.de_convs.3", groups=2, deconv=True),
+        "dec0": _conv_block(sd, "decoder.de_convs.4", deconv=True, last=True),
+    }
+    for i, src in enumerate((2, 3, 4)):
+        params[f"enc_gt{i}"] = _gt_block_nested(sd, f"encoder.en_convs.{src}")
+    for i in range(3):
+        # H-GTCRN decoder GT blocks use causal REGULAR convs (ConvBlock
+        # default use_deconv=False), unlike plain GTCRN's transposed ones
+        params[f"dec_gt{i}"] = _gt_block_nested(sd, f"decoder.de_convs.{i}")
     return jax.tree.map(jnp.asarray, params)

@@ -108,11 +108,12 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     if cfg.fold_window:
         raise ValueError("in-graph batch-fold is unsupported for odd-NFFT models; "
                          "use session-level window batching instead")
-    # odd NFFT loses one hop through STFT->ISTFT (T = (L-1)//hop + 1); pad one
-    # extra hop so the output covers the full input length (the reference
-    # instead emits a shorter clip and slides the host window by the output
-    # length, Inference template stride correction)
-    padded = (-(-model_len // cfg.hop) + 1) * cfg.hop
+    # hop-align; the exact-output_length ISTFT (reference semantics,
+    # SDAEC/STFT_Process.py:178, same contract in Deep_Echo's
+    # static_norm_divisor path) reconstructs all ``padded`` samples — the
+    # last half-window from the decaying COLA edge, exactly like the
+    # reference graph
+    padded = -(-model_len // cfg.hop) * cfg.hop
     x = jnp.pad(x, [(0, 0), (0, padded - model_len)])
 
     spec = stft_packed(x, cfg.stft)

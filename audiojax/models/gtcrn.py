@@ -43,6 +43,10 @@ class GtcrnConfig:
     out_sample_rate: int = 16000
     fold_window: int = 0  # batch-fold window length in samples; 0 = off
     center: bool = True  # False = snip-edges framing (streaming-equivalent)
+    erb_scale: float = 21.4  # ERB log scale; H-GTCRN uses 24.7
+    # plain GTCRN realises decoder GT depth convs as ConvTranspose2d; H-GTCRN
+    # uses causal regular convs there (/root/reference/H-GTCRN/Export_H_GTCRN.py:236-300)
+    dec_gt_deconv: bool = True
 
     @property
     def stft(self) -> StftConfig:
@@ -166,7 +170,7 @@ def gtcrn_backbone(p, feat, cfg: GtcrnConfig, state=None):
     depthwise conv caches, TRA GRU states, dual-path inter GRU states — is
     carried across chunks and ``(mask, new_state)`` is returned.
     """
-    feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft)
+    feat = erb_compress(feat, cfg.n_low, cfg.n_erb, cfg.n_fft, scale=cfg.erb_scale)
     feat = sfe(feat)  # (B, T, 129, 3C)
 
     e = conv_block(p["enc0"], feat, stride=(1, 2), padding=(0, 2))
@@ -194,15 +198,16 @@ def gtcrn_backbone(p, feat, cfg: GtcrnConfig, state=None):
 
     for i, d in enumerate(reversed(_ENC_DIL)):
         if state is None:
-            e = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d, deconv=True)
+            e = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d,
+                              deconv=cfg.dec_gt_deconv)
         else:
-            e, s = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d, deconv=True,
-                                 state=state["dec_gt"][i])
+            e, s = gt_conv_block(p[f"dec_gt{i}"], e + skips[4 - i], dilation=d,
+                                 deconv=cfg.dec_gt_deconv, state=state["dec_gt"][i])
             ns["dec_gt"].append(s)
     e = conv_block(p["dec1"], e + skips[1], stride=(1, 2), padding=(0, 2), groups=2, deconv=True)
     m = conv_block(p["dec0"], e + skips[0], stride=(1, 2), padding=(0, 2), deconv=True, last=True)
 
-    mask = erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft)  # (B, T, F, 2)
+    mask = erb_expand(m, cfg.n_low, cfg.n_erb, cfg.n_fft, scale=cfg.erb_scale)  # (B, T, F, 2)
     return mask if state is None else (mask, ns)
 
 

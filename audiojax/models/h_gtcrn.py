@@ -48,8 +48,13 @@ class HGtcrnConfig:
 
     @property
     def gtcrn_cfg(self) -> GtcrnConfig:
+        # H-GTCRN's GTCRN-IVA core differs from plain GTCRN in two ways:
+        # the ERB log scale is 24.7 (Export_H_GTCRN.py:102-105) and the
+        # decoder GT depth convs are causal regular convs, not transposed
+        # (Export_H_GTCRN.py:236-300 — ConvBlock default use_deconv=False).
         return GtcrnConfig(n_fft=self.n_fft, hop=self.hop, window=self.window,
-                           pad_mode=self.pad_mode)
+                           pad_mode=self.pad_mode, erb_scale=24.7,
+                           dec_gt_deconv=False)
 
 
 def h_gtcrn_forward(params, audio, cfg: HGtcrnConfig = HGtcrnConfig()):
@@ -112,8 +117,9 @@ def init_h_gtcrn(key, cfg: HGtcrnConfig = HGtcrnConfig()):
     """GTCRN params with a 6-channel (→18 after SFE) first encoder conv."""
     from ..nn import core
 
-    params = init_gtcrn(key, cfg.gtcrn_cfg)
-    params["enc0"]["conv"] = core.init_conv2d(jax.random.PRNGKey(7), 1, 5, 18, cfg.gtcrn_cfg.channels)
+    k_base, k_enc0 = jax.random.split(key)
+    params = init_gtcrn(k_base, cfg.gtcrn_cfg)
+    params["enc0"]["conv"] = core.init_conv2d(k_enc0, 1, 5, 18, cfg.gtcrn_cfg.channels)
     return params
 
 

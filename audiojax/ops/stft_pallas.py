@@ -188,9 +188,12 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     raw_len = cfg.n_fft + cfg.hop * (n_t - 1)
     raw = out.reshape(b, blocks * tb * cfg.hop)[:, :raw_len]
     start = cfg.half if cfg.center else 0
-    end = raw_len - (cfg.half if cfg.center else 0)
-    y = raw[:, start:end]
     if out_length is not None:
-        y = y[:, :out_length]
+        # reference semantics (SDAEC/STFT_Process.py:178): exactly out_length
+        # samples from out_start, extending into the right centre-pad region
+        end = start + out_length
+    else:
+        end = raw_len - start
+    y = raw[:, start:end]
     inv = jnp.asarray(_inv_win_sum_np(cfg, n_t, out_length))
     return y * inv

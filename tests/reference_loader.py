@@ -1,0 +1,235 @@
+"""AST-extraction loader for the reference's torch model definitions.
+
+The reference Export scripts (`/root/reference/*/Export_*.py`) contain
+self-contained ``nn.Module`` re-implementations of each network followed by
+top-level export code (``torch.onnx.export`` + graph surgery + a subprocess
+demo — e.g. /root/reference/GTCRN/Export_GTCRN.py:705-792).  To golden-test
+audiojax end-to-end against the reference's *own torch math* we need those
+class definitions without running the export tail (which needs onnx,
+onnxruntime, downloaded checkpoints, and network access).
+
+This loader parses a reference script with ``ast`` and executes ONLY:
+
+  * ``import``/``from .. import`` statements (unavailable third-party modules
+    are stubbed; repo-local imports like ``STFT_Process`` are satisfied from
+    a caller-supplied preset namespace),
+  * top-level constant assignments (the UPPER_CASE config block — statements
+    that fail, e.g. download paths touching ``Path.home()``, are skipped),
+  * ``class``/``def`` definitions.
+
+All other top-level statements (the export body) are discarded, so nothing
+from the reference runs except the model code the tests explicitly call.
+"""
+from __future__ import annotations
+
+import ast
+import sys
+import types
+import typing
+from pathlib import Path
+from unittest import mock
+
+REFERENCE_ROOT = Path("/root/reference")
+
+# Repo-local modules of the reference scripts: never imported; the caller
+# pre-seeds the namespace with what the classes need (e.g. STFT_Process).
+_SKIP_LOCAL = (
+    "STFT_Process",
+    "Rewrite_ONNX",
+    "audio_onnx_metadata",
+    "Example_Audio",
+    "Export_",
+    "Inference_",
+    "Optimize_ONNX",
+)
+
+# Third-party modules absent from this image that appear in Export-script
+# imports.  Only needed so `from X import Y` resolves; the symbols are used
+# exclusively by the export tails we never execute — except beartype /
+# ml_collections, which Mel-Band uses at class-definition time and therefore
+# get real no-op implementations below.
+_STUB_MODULES = [
+    "onnx",
+    "onnx.helper",
+    "onnxruntime",
+    "onnxslim",
+    "pydub",
+    "soundfile",
+    "librosa",
+    "yaml",
+    "modelscope",
+    "modelscope.pipelines",
+    "modelscope.utils",
+    "modelscope.utils.constant",
+    "modelscope.models",
+    "modelscope.models.base",
+    "clearvoice",
+    "clearvoice.models",
+    "clearvoice.models.mossformer_gan_se",
+    "clearvoice.models.mossformer_gan_se.generator",
+    "clearvoice.models.mossformer2_se",
+    "clearvoice.models.mossformer2_se.mossformer2_se_wrapper",
+    "clearvoice.models.mossformer2_ss",
+    "clearvoice.models.mossformer2_ss.mossformer2",
+    "clearvoice.models.mossformer2_sr",
+    "clearvoice.models.mossformer2_sr.mossformer2_sr_wrapper",
+]
+
+
+def _install_stubs() -> None:
+    for name in _STUB_MODULES:
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except Exception:
+            sys.modules[name] = mock.MagicMock(name=f"stub:{name}")
+
+    if "beartype" not in sys.modules:
+        bt = types.ModuleType("beartype")
+        bt.beartype = lambda obj=None, **kw: (obj if obj is not None else (lambda o: o))
+        bt_typing = types.ModuleType("beartype.typing")
+        for attr in dir(typing):
+            if not attr.startswith("_"):
+                setattr(bt_typing, attr, getattr(typing, attr))
+        bt.typing = bt_typing
+        sys.modules["beartype"] = bt
+        sys.modules["beartype.typing"] = bt_typing
+
+    if "ml_collections" not in sys.modules:
+        mlc = types.ModuleType("ml_collections")
+
+        class ConfigDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:  # pragma: no cover
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        mlc.ConfigDict = ConfigDict
+        sys.modules["ml_collections"] = mlc
+
+
+def _assignments_only(body: list) -> bool:
+    """True if a statement list contains only (possibly nested-if) assignments
+    — i.e. executing it can at worst compute a constant, never export/write."""
+    for stmt in body:
+        if isinstance(stmt, (ast.Assign, ast.AnnAssign, ast.AugAssign, ast.Pass)):
+            continue
+        if isinstance(stmt, ast.If):
+            if not (_assignments_only(stmt.body) and _assignments_only(stmt.orelse)):
+                return False
+            continue
+        return False
+    return True
+
+
+def _is_main_guard(node: ast.If) -> bool:
+    t = node.test
+    return (
+        isinstance(t, ast.Compare)
+        and isinstance(t.left, ast.Name)
+        and t.left.id == "__name__"
+    )
+
+
+def _is_local_import(node: ast.ImportFrom | ast.Import) -> bool:
+    if isinstance(node, ast.ImportFrom):
+        mod = node.module or ""
+        return any(mod.startswith(p) for p in _SKIP_LOCAL)
+    return any(any(a.name.startswith(p) for p in _SKIP_LOCAL) for a in node.names)
+
+
+def load_reference(relpath: str, preset: dict | None = None) -> dict:
+    """Execute the definitions (only) of ``/root/reference/<relpath>``.
+
+    Returns the resulting namespace dict: config constants, classes, and
+    functions.  ``preset`` pre-seeds names the script would import from its
+    own directory (e.g. ``{"STFT_Process": <class>}``).
+    """
+    _install_stubs()
+    path = REFERENCE_ROOT / relpath
+    tree = ast.parse(path.read_text(), filename=str(path))
+    ns: dict = {
+        "__file__": str(path),
+        "__name__": f"_ref_{Path(relpath).stem}",
+        "__builtins__": __builtins__,
+    }
+    if preset:
+        ns.update(preset)
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            if _is_local_import(node):
+                continue
+            exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
+        elif isinstance(node, (ast.ClassDef, ast.FunctionDef)):
+            exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)) or (
+            isinstance(node, ast.If)
+            and not _is_main_guard(node)
+            and _assignments_only(node.body)
+            and _assignments_only(node.orelse)
+        ):
+            try:
+                exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
+            except Exception:
+                # Download paths / metadata paths referencing stubbed helpers —
+                # irrelevant to the model classes.
+                pass
+        # every other top-level statement (the export body) is dropped
+    return ns
+
+
+def load_stft_process(model_dir: str) -> type:
+    """The reference's per-model ``STFT_Process`` class (L1 DSP kernel)."""
+    return load_reference(f"{model_dir}/STFT_Process.py")["STFT_Process"]
+
+
+def randomize_(module, seed: int, scale: float = 0.05) -> None:
+    """Perturb every *parameter* (not structural buffers) plus BatchNorm
+    running stats, in place, deterministically.
+
+    Parameters keep torch's per-layer default init (well-scaled, so random
+    nets stay numerically sane) and get an additive uniform perturbation so
+    constant-initialised ones (LayerNorm γ=1/β=0, PReLU α=0.25) become
+    non-trivial for the importer's fusion rules.  Structural buffers (ERB
+    filter banks, DFT kernels, rotary tables, eye kernels…) are computed in
+    ``__init__`` and must keep their values; BN ``running_mean``/
+    ``running_var`` ARE checkpoint state the importer must fuse correctly,
+    so they get non-trivial values.
+    """
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            # requires_grad=False parameters are structural constants kept in
+            # the state dict for compatibility (e.g. GTCRN's analytic ERB
+            # filter bank, /root/reference/GTCRN/Export_GTCRN.py:66-68) —
+            # perturbing them would break in-module invariants.
+            if p.dtype.is_floating_point and p.requires_grad:
+                p.add_(torch.empty_like(p).uniform_(-scale, scale, generator=g))
+        for name, b in module.named_buffers():
+            leaf = name.rsplit(".", 1)[-1]
+            if leaf == "running_mean":
+                b.copy_(torch.empty_like(b).uniform_(-0.5, 0.5, generator=g))
+            elif leaf == "running_var":
+                b.copy_(torch.empty_like(b).uniform_(0.5, 2.0, generator=g))
+
+
+def snr_db(ref, out) -> float:
+    """Output SNR of ``out`` against reference signal ``ref`` (both int16/float)."""
+    import numpy as np
+
+    ref = np.asarray(ref, np.float64).ravel()
+    out = np.asarray(out, np.float64).ravel()
+    n = min(ref.size, out.size)
+    ref, out = ref[:n], out[:n]
+    err = ref - out
+    denom = float(np.sum(err * err))
+    if denom == 0.0:
+        return float("inf")
+    return 10.0 * float(np.log10(np.sum(ref * ref) / denom))

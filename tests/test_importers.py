@@ -477,16 +477,57 @@ def test_import_deep_echo_structure_and_forward():
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
 
 
+def _h_gtcrn_state_dict():
+    """Upstream H-GTCRN (GTCRN-IVA) layout: GT-block convs nested under
+    ConvBlock wrappers (point_conv1.conv/.bn/.act…), all regular Conv2d even
+    in the decoder (/root/reference/H-GTCRN/Export_H_GTCRN.py:236-300)."""
+    sd = {}
+
+    def conv_block(key, cin, cout, k, groups=1, deconv=False, last=False):
+        m = (nn.ConvTranspose2d if deconv else nn.Conv2d)(cin, cout, k, groups=groups)
+        sd.update({f"{key}.conv.{n}": v for n, v in m.state_dict().items()})
+        sd.update({f"{key}.bn.{n}": v for n, v in _bn_with_stats(cout).state_dict().items()})
+        if not last:
+            sd[f"{key}.act.weight"] = torch.full((1,), 0.25)
+
+    def nested_gt(key):
+        conv_block(f"{key}.point_conv1", 24, 16, (1, 1))
+        conv_block(f"{key}.depth_conv", 16, 16, (3, 3), groups=16)
+        conv_block(f"{key}.point_conv2", 16, 8, (1, 1), last=True)
+        gru = nn.GRU(8, 16, 1, batch_first=True)
+        sd.update({f"{key}.tra.att_gru.{n}": v for n, v in gru.state_dict().items()})
+        sd.update({f"{key}.tra.att_fc.{n}": v for n, v in nn.Linear(16, 8).state_dict().items()})
+
+    def dpgrnn(key):
+        for rnn_name, hid, bi in (("intra_rnn", 4, True), ("inter_rnn", 8, False)):
+            for sub in ("rnn1", "rnn2"):
+                g = nn.GRU(8, hid, 1, batch_first=True, bidirectional=bi)
+                sd.update({f"{key}.{rnn_name}.{sub}.{n}": v for n, v in g.state_dict().items()})
+        for fc in ("intra_fc", "inter_fc"):
+            sd.update({f"{key}.{fc}.{n}": v for n, v in nn.Linear(16, 16).state_dict().items()})
+        for ln in ("intra_ln", "inter_ln"):
+            sd.update({f"{key}.{ln}.{n}": v for n, v in nn.LayerNorm((33, 16)).state_dict().items()})
+
+    conv_block("encoder.en_convs.0", 18, 16, (1, 5))
+    conv_block("encoder.en_convs.1", 16, 16, (1, 5), groups=2)
+    for i in (2, 3, 4):
+        nested_gt(f"encoder.en_convs.{i}")
+    dpgrnn("dpgrnn1")
+    dpgrnn("dpgrnn2")
+    for i in (0, 1, 2):
+        nested_gt(f"decoder.de_convs.{i}")
+    conv_block("decoder.de_convs.3", 16, 16, (1, 5), groups=2, deconv=True)
+    conv_block("decoder.de_convs.4", 16, 2, (1, 5), deconv=True, last=True)
+    return sd
+
+
 def test_import_h_gtcrn_runs_forward():
-    """H-GTCRN shares the GTCRN checkpoint layout; the 6-channel spatial
-    front-end only widens the first encoder conv (18 SFE channels)."""
+    """H-GTCRN uses the nested GTCRN-IVA checkpoint layout; the 6-channel
+    spatial front-end widens the first encoder conv (18 SFE channels)."""
     import jax
 
     torch.manual_seed(9)
-    sd = _gtcrn_state_dict()
-    # widen enc0 to the H-GTCRN 18-channel input
-    m = nn.Conv2d(18, 16, (1, 5))
-    sd.update({f"encoder.en_convs.0.conv.{n}": v for n, v in m.state_dict().items()})
+    sd = _h_gtcrn_state_dict()
 
     params = import_checkpoint("h_gtcrn", sd)
     from audiojax.models.h_gtcrn import HGtcrnConfig, h_gtcrn_forward, init_h_gtcrn
