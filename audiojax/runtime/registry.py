@@ -46,6 +46,12 @@ class ModelSpec:
     # optional low-latency serving: cfg -> (init_fn(batch), step_fn(params,
     # state, chunk), delay_samples).  Present for models with state-carry
     # streaming (the SURVEY.md §5 north star).
+    # CONTRACT: every state leaf init_fn(batch) returns must fold the batch
+    # axis BATCH-MAJOR (viewing the folded axis as (batch, sub) recovers the
+    # lane dimension), and no leaf may be batch-independent — StreamingServer
+    # infers each leaf's lane axis from shapes and masks per-lane updates on
+    # it; StreamingServer.verify_lane_isolation() checks the contract and the
+    # suite runs it for every streaming model.
     make_stream: Callable[[object], tuple] | None = None
 
 

@@ -143,11 +143,58 @@ class StreamingServer:
             return state, out
 
         self._lane_view = _lane_view
+        self._raw_step = step_fn
         self._step = jax.jit(masked_step) if jit else masked_step
 
     @property
     def latency_samples(self) -> int:
         return self.block + self.delay
+
+    def verify_lane_isolation(self, seed: int = 0, rtol: float = 1e-4) -> None:
+        """Prove the inferred per-leaf lane axes are correct for this model.
+
+        The lane-axis inference in ``__init__`` assumes every state fold is
+        batch-MAJOR (viewing the located axis as ``(K, sub)`` recovers the
+        lane dimension).  A model whose ``make_stream`` folds the batch
+        batch-minor would satisfy the shape comparison yet interleave lanes —
+        silent cross-stream state corruption.  This check steps all lanes
+        together with DISTINCT random blocks from fresh state and asserts
+        each lane's slice of the batched new state matches an independent
+        batch-1 step on the same input; any mixing raises.  Called by the
+        test-suite for every streaming model (cheap: two eager steps).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        k = self.max_streams
+        rng = np.random.default_rng(seed)
+        blocks = [
+            jnp.asarray(rng.integers(-8000, 8000, (k, self.block)).astype(np.int16))
+            for _ in range(self.n_inputs)
+        ]
+        state_k, _ = self._raw_step(self.params, self._init_fn(k), *blocks)
+        leaves_k = jax.tree_util.tree_leaves(state_k)
+        for j in range(k):
+            s1, _ = self._raw_step(self.params, self._init_fn(1), *[b[j : j + 1] for b in blocks])
+            for li, (lk, l1, (axis, sub)) in enumerate(
+                zip(leaves_k, jax.tree_util.tree_leaves(s1), self._bmeta)
+            ):
+                got = np.take(np.asarray(self._lane_view(lk, axis, sub)), j, axis=axis)
+                want = np.asarray(l1)
+                # lane MIXING lands at signal scale; batch-K vs batch-1 runs
+                # legitimately differ by float-vectorization noise (and 1 LSB
+                # after int rounding), so tolerate scale-relative error
+                tol = rtol * max(1.0, float(np.max(np.abs(want))) if want.size else 1.0)
+                if np.issubdtype(want.dtype, np.integer):
+                    tol = max(tol, 1.0)
+                if got.shape != want.shape or not np.allclose(
+                    got.astype(np.float64), want.astype(np.float64), atol=tol
+                ):
+                    raise AssertionError(
+                        f"lane-isolation check failed: state leaf {li} lane {j} "
+                        f"(axis {axis}, sub {sub}) diverges from an independent "
+                        f"batch-1 step — the state fold is not batch-major"
+                    )
 
     def open(self) -> int:
         """Allocate a stream lane (fresh state) → stream id."""

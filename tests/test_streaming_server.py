@@ -122,3 +122,18 @@ def test_push_many_single_step_per_block_round():
         tail = srv.flush(sid)
         got = np.concatenate([outs.get(sid, np.zeros(0, np.int16)), tail])
         np.testing.assert_allclose(got.astype(np.int32), ref.astype(np.int32), atol=1)
+
+
+@pytest.mark.parametrize("name", ["gtcrn", "ul_unas", "dfsmn", "nkf_aec", "sdaec",
+                                  "deep_echo", "dfsmn_aec"])
+def test_lane_isolation_all_streaming_models(name):
+    """verify_lane_isolation proves the lane-axis inference (batch-major state
+    folds) for every streaming model — the contract ADVICE.md flagged as
+    implicit is now an executable invariant."""
+    spec = registry.get(name)
+    if spec.make_stream is None:
+        pytest.skip(f"{name} is not a streaming model")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(1), cfg)
+    srv = StreamingServer(spec, params, cfg, max_streams=3, block_hops=1, jit=False)
+    srv.verify_lane_isolation()
