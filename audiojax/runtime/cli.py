@@ -71,6 +71,15 @@ def main(argv=None):
 
             if registry.has_compute_dtype(cfg):
                 cfg = dataclasses.replace(cfg, compute_dtype=recorded)
+            else:
+                # fail closed, mirroring export_artifact: serving f32 where
+                # the artifact recorded e.g. bf16 would silently change both
+                # numerics and performance
+                print(f"artifact records activation_compute_dtype={recorded!r} "
+                      f"but {spec.name} has no compute_dtype knob; refusing "
+                      "to serve with a different dtype than exported",
+                      file=sys.stderr)
+                return 2
     else:
         print(f"note: no --artifact given; using randomly initialised {spec.name} params", file=sys.stderr)
         params = spec.init_params(jax.random.PRNGKey(args.seed), cfg)

@@ -47,6 +47,7 @@ def _load():
         lib.slice_windows.restype = ctypes.c_int
         lib.wav_encode_pcm16.restype = ctypes.c_int64
         lib.resample_linear_i16.restype = ctypes.c_int
+        lib.resample_linear_rows_i16.restype = ctypes.c_int
         lib.normalise_rms_i16.restype = ctypes.c_int
         lib.ola_stitch_i16.restype = ctypes.c_int
         _lib = lib
@@ -136,13 +137,13 @@ def resample_linear(audio: np.ndarray, out_n: int) -> np.ndarray:
     lead = audio.shape[:-1]
     flat = audio.reshape(-1, audio.shape[-1])
     out = np.empty((flat.shape[0], out_n), np.int16)
-    for i in range(flat.shape[0]):
-        rc = lib.resample_linear_i16(
-            flat[i].ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(flat.shape[1]),
-            out[i].ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(out_n),
-        )
-        if rc != 0:
-            raise ValueError("resample_linear_i16 failed")
+    rc = lib.resample_linear_rows_i16(
+        flat.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(flat.shape[0]),
+        ctypes.c_int64(flat.shape[1]),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(out_n),
+    )
+    if rc != 0:
+        raise ValueError("resample_linear_rows_i16 failed")
     return out.reshape(*lead, out_n)
 
 

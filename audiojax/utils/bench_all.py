@@ -70,6 +70,17 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
     params = spec.init_params(jax.random.PRNGKey(0), cfg)
     fn = jax.jit(spec.make_forward(cfg))
 
+    # XLA's own cost model for the compiled executable — the analytic FLOP
+    # count the MFU column is derived from (no hand-counted estimates).
+    flops = None
+    try:
+        ca = fn.lower(params, *inputs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     def run_once():
         out = fn(params, *inputs)
         outs = out if isinstance(out, (tuple, list)) else (out,)
@@ -99,7 +110,7 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
     duration = w / rc["IN_SAMPLE_RATE"]
     rtf = elapsed / duration
     base = BASELINES.get(name)
-    return {
+    row = {
         "model": name + (f"+{compute_dtype}" if compute_dtype else ""),
         "rtf": round(rtf, 6),
         "latency_ms": round(elapsed * 1e3, 3),
@@ -107,6 +118,31 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
         "baseline_rtf": base,
         "vs_baseline": round(base / rtf, 2) if base else None,
     }
+    if flops:
+        achieved = flops / elapsed
+        row["gflops"] = round(flops / 1e9, 2)
+        row["tflops_per_s"] = round(achieved / 1e12, 3)
+        row["mfu_pct"] = round(100.0 * achieved / _peak_flops(), 2)
+    return row
+
+
+def _peak_flops() -> float:
+    """Peak dense-matmul FLOP/s of the current accelerator (bf16 MXU peak —
+    the denominator every MFU number in the bench tables uses).  v5e: 197
+    TFLOP/s bf16 (f32 matmuls pass through the same MXU at lower rate, so
+    f32 rows understate their hardware efficiency — compare like-for-like)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5 pod" in kind:
+        return 459e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return 197e12  # unknown: assume v5e-class
 
 
 def main(argv=None):
@@ -139,16 +175,19 @@ def main(argv=None):
             print(json.dumps(row), flush=True)
             rows.append(row)
 
-    print("\n| Model | RTF | chunk | reference CPU RTF | speedup |")
-    print("|---|---|---|---|---|")
+    print("\n| Model | RTF | chunk | reference CPU RTF | speedup | TFLOP/s | MFU |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         if "error" in r:
-            print(f"| {r['model']} | ERROR: {r['error']} | | | |")
+            print(f"| {r['model']} | ERROR: {r['error']} | | | | | |")
         else:
             base = r["baseline_rtf"]
+            tf = f"{r['tflops_per_s']:.2f}" if "tflops_per_s" in r else "—"
+            mfu = f"{r['mfu_pct']:.1f}%" if "mfu_pct" in r else "—"
             print(f"| {r['model']} | {r['rtf']:.6f} | {r['chunk_s']:.1f} s | "
                   f"{base if base is not None else '—'} | "
-                  f"{str(r['vs_baseline']) + '×' if r['vs_baseline'] else '—'} |")
+                  f"{str(r['vs_baseline']) + '×' if r['vs_baseline'] else '—'} | "
+                  f"{tf} | {mfu} |")
     return 0
 
 

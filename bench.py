@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BASELINES = {"zipenhancer": 0.32, "gtcrn": 0.0036, "mossformer2_se": 0.09}
+from audiojax.utils.bench_all import BASELINES  # single canonical baselines dict
 
 
 def _bench_model(fn, params, audio, iters: int) -> float:

@@ -173,6 +173,18 @@ int resample_linear_i16(const int16_t* in, int64_t n, int16_t* out, int64_t out_
   return 0;
 }
 
+// Batched rows variant: one call resamples a contiguous (rows, n) buffer into
+// (rows, out_n) — avoids per-row ctypes call overhead from Python.
+int resample_linear_rows_i16(const int16_t* in, int64_t rows, int64_t n,
+                             int16_t* out, int64_t out_n) {
+  if (rows <= 0) return -1;
+  for (int64_t r = 0; r < rows; ++r) {
+    int rc = resample_linear_i16(in + r * n, n, out + r * out_n, out_n);
+    if (rc != 0) return rc;
+  }
+  return 0;
+}
+
 // RMS-normalise int16 samples to `target_rms` (reference
 // Inference_GTCRN_ONNX.py:115-135): scale by target/(rms + 1e-7), clamp.
 int normalise_rms_i16(const int16_t* in, int64_t n, double target_rms, int16_t* out) {
