@@ -16,13 +16,56 @@ axis is throughput over windows, not weight capacity).
 """
 from __future__ import annotations
 
+import contextlib
+import threading
 from functools import partial
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate", "shard_batch", "sharded_model_fn"]
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "sharded_model_fn",
+    "spmd_mesh",
+    "shard_hint",
+]
+
+_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def spmd_mesh(mesh: Mesh):
+    """Activate in-model sharding hints while tracing under this mesh.
+
+    Models sprinkle :func:`shard_hint` at their natural partition points
+    (e.g. ZipEnhancer's dual-path batch-flattened sequences); the hints are
+    no-ops unless a mesh is active here, so single-chip code paths pay
+    nothing.  Trace/jit the model INSIDE this context for the constraints to
+    be baked into the lowered computation (XLA SPMD then inserts the ICI
+    collectives — all-to-alls at dual-path transpositions, halo exchanges
+    for sharded convolutions)."""
+    prev = getattr(_ctx, "mesh", None)
+    _ctx.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _ctx.mesh = prev
+
+
+def shard_hint(x, *spec):
+    """``with_sharding_constraint(x, P(*spec))`` under the active
+    :func:`spmd_mesh`; identity when no mesh is active.  Axis names absent
+    from the active mesh degrade to replicated (None), so a model annotated
+    for ``("dp", "tp")`` also runs on a dp-only mesh unchanged."""
+    mesh = getattr(_ctx, "mesh", None)
+    if mesh is None:
+        return x
+    names = set(mesh.axis_names)
+    clean = tuple(s if (s in names or s is None) else None for s in spec)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*clean)))
 
 
 def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
