@@ -24,6 +24,7 @@ from jax import lax
 from ..dsp import StftConfig, istft_packed, stft
 from ..dsp.pcm import fold_windows, pcm_in, resample_linear, unfold_windows
 from ..nn import core
+from ..parallel.sharding import shard_hint
 from ..nn.zipformer import (
     bypass,
     compact_rel_pos,
@@ -117,11 +118,15 @@ def dualpath_encoder(p, x, cfg: ZipEnhancerConfig):
     """(B, T, F, C): one Zipformer2 layer over frequency, then one over time,
     each wrapped in an outer bypass (Export_ZipEnhancer.py:577-592)."""
     b, t, f, c = x.shape
-    seq = x.reshape(b * t, f, c)
+    # tp shards the folded sequence-batch axis: B×T for the frequency path,
+    # B×F for the time path — within-example model parallelism (every chip
+    # holds a slice of each window's frames); XLA SPMD inserts the all-to-all
+    # at the path transposition where the sharded axis changes meaning.
+    seq = shard_hint(x.reshape(b * t, f, c), ("dp", "tp"))
     y = zipformer_layer(p["f_layer"], seq, compact_rel_pos(f, cfg.pos_dim), **_layer_kwargs(cfg))
     x = bypass(p["bypass_f"], seq, y).reshape(b, t, f, c)
 
-    seq = jnp.swapaxes(x, 1, 2).reshape(b * f, t, c)
+    seq = shard_hint(jnp.swapaxes(x, 1, 2).reshape(b * f, t, c), ("dp", "tp"))
     y = zipformer_layer(p["t_layer"], seq, compact_rel_pos(t, cfg.pos_dim), **_layer_kwargs(cfg))
     y = bypass(p["bypass_t"], seq, y)
     return jnp.swapaxes(y.reshape(b, f, t, c), 1, 2)
@@ -141,9 +146,11 @@ def downsampled_encoder(p, x, cfg: ZipEnhancerConfig, t_ds: int, f_ds: int):
     seq = simple_downsample(p["down_f"], seq, f_ds)
     df = seq.shape[1]
 
+    seq = shard_hint(seq, ("dp", "tp"))  # B×dt folded batch for the freq path
     y = zipformer_layer(p["f_layer"], seq, compact_rel_pos(df, cfg.pos_dim), **_layer_kwargs(cfg))
     seq = bypass(p["bypass_f"], seq, y)
     seq = jnp.swapaxes(seq.reshape(b, dt, df, c), 1, 2).reshape(b * df, dt, c)
+    seq = shard_hint(seq, ("dp", "tp"))  # B×df folded batch for the time path
     y = zipformer_layer(p["t_layer"], seq, compact_rel_pos(dt, cfg.pos_dim), **_layer_kwargs(cfg))
     seq = bypass(p["bypass_t"], seq, y)
 

@@ -1,3 +1,5 @@
-from .sharding import make_mesh, replicate, shard_batch, sharded_model_fn
+from .sharding import (make_mesh, replicate, shard_batch, shard_hint,
+                       sharded_model_fn, spmd_mesh)
 
-__all__ = ["make_mesh", "replicate", "shard_batch", "sharded_model_fn"]
+__all__ = ["make_mesh", "replicate", "shard_batch", "shard_hint",
+           "sharded_model_fn", "spmd_mesh"]

@@ -57,15 +57,25 @@ def spmd_mesh(mesh: Mesh):
 
 def shard_hint(x, *spec):
     """``with_sharding_constraint(x, P(*spec))`` under the active
-    :func:`spmd_mesh`; identity when no mesh is active.  Axis names absent
-    from the active mesh degrade to replicated (None), so a model annotated
-    for ``("dp", "tp")`` also runs on a dp-only mesh unchanged."""
+    :func:`spmd_mesh`; identity when no mesh is active.  A spec entry may be
+    an axis name, ``None``, or a tuple of axis names (shard one tensor axis
+    over several mesh axes, e.g. ``("dp", "tp")``).  Axis names absent from
+    the active mesh degrade to replicated, so a model annotated for
+    ``("dp", "tp")`` also runs on a dp-only mesh unchanged."""
     mesh = getattr(_ctx, "mesh", None)
     if mesh is None:
         return x
     names = set(mesh.axis_names)
-    clean = tuple(s if (s in names or s is None) else None for s in spec)
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*clean)))
+
+    def _clean(s):
+        if isinstance(s, (tuple, list)):
+            kept = tuple(a for a in s if a in names)
+            return kept if len(kept) > 1 else (kept[0] if kept else None)
+        return s if (s is None or s in names) else None
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*(_clean(s) for s in spec)))
+    )
 
 
 def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:

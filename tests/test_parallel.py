@@ -138,6 +138,56 @@ def test_dp_tp_spectral_sharding_matches_single_device():
     np.testing.assert_allclose(out.astype(np.int32), ref.astype(np.int32), atol=1)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_tp_in_model_zipenhancer_matches_single_device():
+    """(dp=4, tp=2) with IN-MODEL sharding constraints: ZipEnhancer's dual-path
+    folds carry shard_hint(("dp","tp")) annotations, so tp partitions each
+    window's frames/frequencies WITHIN the net (not just at the STFT
+    boundary); the sharded run must equal the unsharded one."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.dsp import stft
+    from audiojax.models.zipenhancer import (ZipEnhancerConfig, init_zipenhancer,
+                                             zipenhancer_net)
+    from audiojax.parallel import spmd_mesh
+
+    cfg = dataclasses.replace(
+        ZipEnhancerConfig(), channels=16, dense_depth=2, num_heads=2,
+        query_head_dim=4, pos_head_dim=2, value_head_dim=4, ff_hidden=24,
+        nonlin_hidden=12, conv_kernel=5, pos_dim=8,
+        encoder_downsample=((1, 1), (2, 2)), fold_window=0)
+    params = init_zipenhancer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 2000)).astype(np.float32))
+    re, im = stft(x, cfg.stft)
+    mag = jnp.power(re * re + im * im + 1e-9, cfg.compress * 0.5)
+    pha = jnp.arctan2(im, re + 1e-5)
+
+    m_ref, p_ref = jax.jit(lambda pp, a, b: zipenhancer_net(pp, a, b, cfg))(params, mag, pha)
+
+    mesh = make_mesh(8, tp=2)
+    rs, ds = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    with spmd_mesh(mesh):
+        fn = jax.jit(lambda pp, a, b: zipenhancer_net(pp, a, b, cfg),
+                     in_shardings=(rs, ds, ds), out_shardings=(ds, ds))
+        m_sh, p_sh = fn(jax.device_put(params, rs), jax.device_put(mag, ds),
+                        jax.device_put(pha, ds))
+
+    np.testing.assert_allclose(np.asarray(m_sh), np.asarray(m_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref), atol=1e-4)
+
+
+def test_shard_hint_identity_without_mesh():
+    """shard_hint is a no-op outside spmd_mesh, and degrades unknown axis
+    names to replicated under a mesh that lacks them."""
+    from audiojax.parallel import shard_hint
+
+    x = jnp.arange(8.0).reshape(2, 4)
+    np.testing.assert_array_equal(np.asarray(shard_hint(x, ("dp", "tp"))), np.asarray(x))
+
+
 def test_graft_entry_dryrun_multichip_end_to_end():
     """The driver's multi-chip check, verbatim: __graft_entry__.dryrun_multichip(8)
     must re-exec itself onto a virtual 8-device CPU mesh and run one sharded
