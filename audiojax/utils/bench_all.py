@@ -150,6 +150,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--models", default=None, help="comma-separated subset")
     ap.add_argument("--no-bf16", action="store_true", help="skip bf16-compute variants")
+    ap.add_argument("--json-out", default=None,
+                    help="also write rows as JSON lines (input to utils.readme_tables)")
     args = ap.parse_args(argv)
 
     from ..runtime import registry
@@ -174,6 +176,10 @@ def main(argv=None):
                 row = {"model": f"{name}+bfloat16", "error": f"{type(e).__name__}: {e}"}
             print(json.dumps(row), flush=True)
             rows.append(row)
+
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            fh.write("".join(json.dumps(r) + "\n" for r in rows))
 
     print("\n| Model | RTF | chunk | reference CPU RTF | speedup | TFLOP/s | MFU |")
     print("|---|---|---|---|---|---|---|")
