@@ -1,4 +1,4 @@
-from .audio_io import read_wav, resample_np, to_mono, write_wav
+from .audio_io import read_audio, read_wav, register_decoder, resample_np, to_mono, write_wav
 from .checkpoint import load_artifact, save_artifact
 from .manifest import Manifest, validate_manifest_dict
 from .optimize import PLANS, Plan, apply_plan, optimize_artifact, plan_for, wrap_forward
@@ -17,7 +17,9 @@ __all__ = [
     "load_artifact",
     "optimize_artifact",
     "plan_for",
+    "read_audio",
     "read_wav",
+    "register_decoder",
     "resample_np",
     "save_artifact",
     "to_mono",

@@ -12,7 +12,47 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "to_mono", "resample_np", "normalise_rms"]
+__all__ = ["read_audio", "read_wav", "register_decoder", "write_wav", "to_mono",
+           "resample_np", "normalise_rms"]
+
+# magic-byte prefix → decoder(path) -> (int16 (channels, n), rate).  WAV and
+# FLAC ship built-in; register_decoder is the documented hook for anything
+# else (the reference pipes every other container through ffmpeg, absent in
+# this image).
+_DECODERS: list[tuple[bytes, object]] = []
+
+
+def register_decoder(magic: bytes, decoder) -> None:
+    """Register ``decoder(path) -> ((channels, n) int16, rate)`` for files
+    whose first bytes equal ``magic``."""
+    _DECODERS.insert(0, (magic, decoder))
+
+
+def _decode_flac_file(path):
+    from . import native
+
+    return native.decode_flac(Path(path).read_bytes())
+
+
+def read_audio(path) -> tuple[np.ndarray, int]:
+    """Decode any supported container → (int16 ``(channels, n)``, rate).
+
+    Dispatches on magic bytes: RIFF/WAVE via :func:`read_wav`, FLAC via the
+    native decoder (native/audioio.cc), plus anything added through
+    :func:`register_decoder`."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+    for magic, decoder in _DECODERS:
+        if head.startswith(magic):
+            return decoder(path)
+    if head.startswith(b"fLaC"):
+        return _decode_flac_file(path)
+    if head.startswith(b"RIFF"):
+        return read_wav(path)
+    raise ValueError(
+        f"unrecognised audio container {head[:4]!r} in {path}; supported: WAV, "
+        f"FLAC (native), or register a decoder via audio_io.register_decoder"
+    )
 
 
 def read_wav(path) -> tuple[np.ndarray, int]:

@@ -48,7 +48,7 @@ def main(argv=None):
     import jax
     import numpy as np
 
-    from .audio_io import read_wav, resample_np, to_mono, write_wav
+    from .audio_io import read_audio, resample_np, to_mono, write_wav
     from .checkpoint import load_artifact
     from .session import Session
 
@@ -98,7 +98,7 @@ def main(argv=None):
 
     audios = []
     for p in inputs:
-        data, rate = read_wav(p)
+        data, rate = read_audio(p)
         if manifest.input_channels == 1:
             data = to_mono(data)[None]
         data = resample_np(data, rate, manifest.in_sample_rate)

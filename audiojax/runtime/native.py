@@ -15,6 +15,7 @@ import numpy as np
 
 __all__ = [
     "available",
+    "decode_flac",
     "read_wav_mono16",
     "slice_windows",
     "encode_wav_pcm16",
@@ -50,6 +51,8 @@ def _load():
         lib.resample_linear_rows_i16.restype = ctypes.c_int
         lib.normalise_rms_i16.restype = ctypes.c_int
         lib.ola_stitch_i16.restype = ctypes.c_int
+        lib.flac_parse_header.restype = ctypes.c_int
+        lib.flac_decode_i16.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -87,6 +90,38 @@ def read_wav_mono16(path) -> tuple[np.ndarray, int]:
     if rc != 0:
         raise ValueError(f"unsupported WAV payload ({rc}): {path}")
     return out, rate.value
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """Native FLAC decode → (int16 samples ``(channels, n)``, sample_rate).
+
+    Fail-closed: CRC or format errors raise (no partial output).  bps ≠ 16 is
+    shifted to int16 range (lossless for 16-bit sources, which the speech
+    corpora the reference targets all are)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio unavailable")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    total = ctypes.c_int64()
+    rc = lib.flac_parse_header(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(buf.size),
+        ctypes.byref(ch), ctypes.byref(rate), ctypes.byref(bits), ctypes.byref(total),
+    )
+    if rc != 0:
+        raise ValueError(f"invalid FLAC stream ({rc})")
+    # total_samples may legally be 0 (unknown); bound by the stream size then
+    cap = total.value if total.value > 0 else buf.size * 4 // max(ch.value, 1)
+    out = np.empty((cap, ch.value), np.int16)
+    n = lib.flac_decode_i16(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(buf.size),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+    )
+    if n < 0:
+        raise ValueError(f"FLAC decode failed ({n})")
+    return out[:n].T.copy(), rate.value
 
 
 def slice_windows(audio: np.ndarray, window: int, stride: int, pad_head: int,

@@ -114,3 +114,95 @@ def test_native_ola_stitch_matches_session():
     expect = np.clip(np.round(acc / np.maximum(norm, 1e-7)), -32768, 32767).astype(np.int16)
     assert ours.shape == expect.shape
     assert np.abs(ours.astype(np.int32) - expect.astype(np.int32)).max() <= 1
+
+
+# ───────────────────────────── FLAC decoder ─────────────────────────────
+# Golden streams come from tests/flac_golden.py — an independent from-spec
+# encoder — so decode is verified bit-exact (FLAC is lossless).
+
+
+def _speechish(n, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 310 * t) + 0.1 * np.sin(2 * np.pi * 997 * t)
+    out = np.stack([sig * (1 - 0.2 * c) + 0.05 * rng.standard_normal(n)
+                    for c in range(channels)])
+    return (out * 14000).astype(np.int16)
+
+
+@pytest.mark.parametrize("subframe,order", [
+    ("verbatim", 0), ("fixed", 0), ("fixed", 1), ("fixed", 2), ("fixed", 3),
+    ("fixed", 4),
+])
+def test_flac_decode_mono_roundtrip(subframe, order):
+    from flac_golden import encode_flac
+
+    pcm = _speechish(5000)
+    blob = encode_flac(pcm, 16000, subframe=subframe, order=order)
+    out, rate = native.decode_flac(blob)
+    assert rate == 16000
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_flac_decode_constant_subframe():
+    from flac_golden import encode_flac
+
+    pcm = np.full((1, 3072), -1234, np.int16)
+    out, rate = native.decode_flac(encode_flac(pcm, 48000, subframe="constant"))
+    assert rate == 48000
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_flac_decode_lpc_subframe():
+    from flac_golden import encode_flac
+
+    pcm = _speechish(4096, seed=3)
+    blob = encode_flac(pcm, 16000, subframe="lpc", lpc=([2045, -1023], 12, 10))
+    out, _ = native.decode_flac(blob)
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_flac_decode_wasted_bits():
+    from flac_golden import encode_flac
+
+    pcm = (_speechish(2048, seed=5) & ~np.int16(7))  # 3 wasted low bits
+    blob = encode_flac(pcm, 16000, subframe="fixed", order=1, wasted=3)
+    out, _ = native.decode_flac(blob)
+    np.testing.assert_array_equal(out, pcm)
+
+
+@pytest.mark.parametrize("stereo", ["independent", "left_side", "mid_side"])
+def test_flac_decode_stereo_modes(stereo):
+    from flac_golden import encode_flac
+
+    pcm = _speechish(4000, channels=2, seed=7)
+    out, rate = native.decode_flac(encode_flac(pcm, 44100, stereo=stereo))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, pcm)
+
+
+def test_flac_decode_fail_closed_on_corruption():
+    from flac_golden import encode_flac
+
+    blob = bytearray(encode_flac(_speechish(2048), 16000))
+    blob[len(blob) // 2] ^= 0x40  # flip a bit mid-frame → CRC-16 mismatch
+    with pytest.raises(ValueError):
+        native.decode_flac(bytes(blob))
+
+
+def test_read_audio_dispatches_by_magic(tmp_path):
+    from flac_golden import encode_flac
+
+    from audiojax.runtime.audio_io import read_audio
+
+    pcm = _speechish(3000, channels=2, seed=9)
+    (tmp_path / "x.flac").write_bytes(encode_flac(pcm, 16000, stereo="mid_side"))
+    wav_p = write_wav(tmp_path / "x.wav", pcm, 16000)
+    fa, fr = read_audio(tmp_path / "x.flac")
+    wa, wr = read_audio(wav_p)
+    assert fr == wr == 16000
+    np.testing.assert_array_equal(fa, pcm)
+    np.testing.assert_array_equal(wa, pcm)
+    (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02\x03junk")
+    with pytest.raises(ValueError, match="register_decoder"):
+        read_audio(tmp_path / "x.bin")
