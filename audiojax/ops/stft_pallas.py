@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused framing + windowed-DFT STFT.
+"""Pallas TPU kernel: fused framing + windowed-DFT STFT, any hop.
 
 The jnp path (audiojax.dsp.stft) frames with shifted slices and matmuls with
 the DFT basis; XLA materialises the (B, T, n_fft) frame tensor in HBM between
@@ -8,7 +8,19 @@ with ``pltpu.roll`` (sublane rotations — Mosaic forbids unaligned vector
 slices), and feeds the MXU directly.  The frame tensor never exists in HBM,
 cutting STFT traffic by ~n_fft/hop.
 
+Arbitrary hop (the whole zoo: 100, 160, 256, 441, 960, …) is handled with a
+padded-segment layout: audio is viewed as hop-rows padded to
+``rp = ceil(hop/128)·128`` lanes (Mosaic in-kernel HBM DMA slices need
+128-aligned lanes), and the pad positions are baked into the DFT basis as
+zero rows — frame row ``k·rp + j`` maps to sample ``k·hop + j`` and the MXU
+contracts over the padded axis directly, so no unaligned lane slicing ever
+happens.  When ``hop % 128 == 0`` this degenerates to the exact unpadded
+kernel.  Models whose basis exceeds VMEM (Mel-Band n_fft=2048, DFSMN 1920)
+add an inner frequency-chunk grid dimension.
+
 Caller contract matches ``dsp.stft_packed`` (centre padding included).
+Reference equivalent: /root/reference/GTCRN/STFT_Process.py:129-361 (conv1d
+framing) — re-designed here as a fused DMA+MXU kernel.
 """
 from __future__ import annotations
 
@@ -31,10 +43,34 @@ __all__ = [
     "fast_istft_packed",
 ]
 
+# VMEM budget for the basis block; above this the kernels chunk the frequency
+# axis (multiple grid steps per strip).  Pallas double-buffers the streamed
+# basis blocks, so the effective footprint is ~2× this plus the frames
+# intermediate — 3 MB keeps the worst geometry (Mel-Band 2048/441) under
+# half of VMEM.
+_F_CHUNK_BYTES = 3 << 20
+
+
+def _row_pad(hop: int) -> int:
+    """Hop-row lane width: hop padded up to a multiple of 128."""
+    return -(-hop // 128) * 128
+
+
+# Padded-segment DFT basis byte ceiling for the fused path.  Above this the
+# Mosaic remote compile was measured pathological on v5e (Mel-Band 2048/441:
+# kk=2560 × 2F=2050 ≈ 21 MB → compile crash at 6 MB VMEM chunks, >40 min
+# compile at 3 MB chunks); DFSMN 1920/960 at 15.7 MB compiles in seconds and
+# runs 1.45×/1.64× faster than the jnp path, so the ceiling sits between.
+_BASIS_SAFE_BYTES = 18 << 20
+
 
 def pallas_supported(cfg: StftConfig) -> bool:
-    """The kernel's VMEM strip uses hop-wide lanes: hop must be 128-aligned."""
-    return cfg.hop % 128 == 0
+    """Padded-segment kernels cover any hop; only geometries whose padded DFT
+    basis exceeds ``_BASIS_SAFE_BYTES`` (Mel-Band 44.1 kHz) fall back to the
+    jnp path — see the ceiling note above."""
+    rp = _row_pad(cfg.hop)
+    k_seg = -(-cfg.n_fft // cfg.hop)
+    return cfg.hop >= 1 and k_seg * rp * 2 * cfg.f_bins * 4 <= _BASIS_SAFE_BYTES
 
 
 def fast_stft_packed(x, cfg: StftConfig):
@@ -61,17 +97,47 @@ def fast_istft_packed(spec, cfg: StftConfig, out_length: int | None = None):
     return _jnp_istft(spec, cfg, out_length)
 
 
-def _kernel(x_ref, basis_ref, o_ref, scratch, sem, *, hop, n_fft, tb, n_rows, k_seg):
+def _stft_basis_padded_np(cfg: StftConfig, rp: int, k_seg: int) -> np.ndarray:
+    """(k_seg·rp, 2F) DFT basis in padded-segment layout: row ``k·rp + j``
+    carries basis sample ``k·hop + j``; pad rows (j ≥ hop) and rows past
+    n_fft are zero, so the padded-frame matmul equals the exact DFT."""
+    basis = _stft_basis_np(cfg)  # (n_fft, 2F)
+    out = np.zeros((k_seg * rp, basis.shape[1]), np.float32)
+    for k in range(k_seg):
+        nv = min(cfg.hop, cfg.n_fft - k * cfg.hop)
+        if nv > 0:
+            out[k * rp : k * rp + nv] = basis[k * cfg.hop : k * cfg.hop + nv]
+    return out
+
+
+def _istft_basis_padded_np(cfg: StftConfig, rp: int, k_seg: int, fb2_pad: int) -> np.ndarray:
+    """(fb2_pad, k_seg·rp) windowed-iDFT basis in padded-segment layout
+    (transposed twin of :func:`_stft_basis_padded_np`)."""
+    ibasis = _istft_basis_np(cfg)  # (2F, n_fft)
+    out = np.zeros((fb2_pad, k_seg * rp), np.float32)
+    for k in range(k_seg):
+        nv = min(cfg.hop, cfg.n_fft - k * cfg.hop)
+        if nv > 0:
+            out[: ibasis.shape[0], k * rp : k * rp + nv] = \
+                ibasis[:, k * cfg.hop : k * cfg.hop + nv]
+    return out
+
+
+def _kernel(x_ref, basis_ref, o_ref, scratch, sem, *, tb, n_rows, k_seg):
     bi = pl.program_id(0)
     i = pl.program_id(1)
-    start = pl.multiple_of(i * tb, 8)  # tb is a multiple of 8
-    dma = pltpu.make_async_copy(x_ref.at[bi, pl.ds(start, n_rows)], scratch, sem)
-    dma.start()
-    dma.wait()
+    fi = pl.program_id(2)
+
+    @pl.when(fi == 0)
+    def _dma():  # one strip DMA per (bi, ti); reused across frequency chunks
+        start = pl.multiple_of(i * tb, 8)  # tb is a multiple of 8
+        dma = pltpu.make_async_copy(x_ref.at[bi, pl.ds(start, n_rows)], scratch, sem)
+        dma.start()
+        dma.wait()
 
     rows = scratch[:]
     parts = [pltpu.roll(rows, (n_rows - k) % n_rows, 0)[:tb] for k in range(k_seg)]  # +shift only
-    frames = jnp.concatenate(parts, axis=-1)[:, :n_fft]
+    frames = jnp.concatenate(parts, axis=-1)  # (tb, k_seg·rp) padded-segment layout
     o_ref[0] = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
@@ -83,62 +149,82 @@ def stft_packed_pallas(x: jnp.ndarray, cfg: StftConfig, *, frames_per_block: int
     b, padded = x.shape
     n_t = (padded - cfg.n_fft) // cfg.hop + 1
     fb2 = 2 * cfg.f_bins
+    rp = _row_pad(cfg.hop)
+    k_seg = -(-cfg.n_fft // cfg.hop)
 
     tb = min(frames_per_block, -(-n_t // 8) * 8)
     tb = -(-tb // 8) * 8  # the kernel's pl.multiple_of(i·tb, 8) hint requires it
     blocks = -(-n_t // tb)
-    k_seg = -(-cfg.n_fft // cfg.hop)
     n_rows = -(-(tb + k_seg - 1) // 8) * 8  # aligned strip height
     # pad so the last block's strip stays in bounds, then view as hop rows
     need = ((blocks - 1) * tb + n_rows) * cfg.hop
     if need > padded:
         x = jnp.pad(x, [(0, 0), (0, need - padded)])
     x = x[:, :need].reshape(b, need // cfg.hop, cfg.hop)
+    if rp != cfg.hop:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, rp - cfg.hop)])
 
-    basis = jnp.asarray(_stft_basis_np(cfg))
-    kernel = partial(_kernel, hop=cfg.hop, n_fft=cfg.n_fft, tb=tb,
-                     n_rows=n_rows, k_seg=k_seg)
+    basis = jnp.asarray(_stft_basis_padded_np(cfg, rp, k_seg))
+    kk = k_seg * rp
+    # chunk the output frequency axis when the basis block would blow VMEM;
+    # blocked specs mask the final partial chunk, so fb2 needs no padding here
+    f_blocks = max(1, -(-(kk * fb2 * 4) // _F_CHUNK_BYTES))
+    fc = -(-(-(-fb2 // f_blocks)) // 128) * 128
+    f_blocks = -(-fb2 // fc)
+
+    kernel = partial(_kernel, tb=tb, n_rows=n_rows, k_seg=k_seg)
     out = pl.pallas_call(
         kernel,
-        grid=(b, blocks),
+        grid=(b, blocks, f_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
-            pl.BlockSpec((cfg.n_fft, fb2), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kk, fc), lambda bi, ti, fi: (0, fi), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tb, fb2), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, tb, fc), lambda bi, ti, fi: (bi, ti, fi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, blocks * tb, fb2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_rows, cfg.hop), jnp.float32), pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((n_rows, rp), jnp.float32), pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(x, basis)
     return out[:, :n_t]
 
 
-def _ikernel(spec_ref, ibasis_ref, o_ref, scratch, sem, *, hop, n_fft, tb, n_rows, k_seg):
-    """One program emits ``tb`` hop-rows of raw overlap-added audio.
+def _ikernel(spec_ref, ibasis_ref, o_ref, scratch, sem, *, tb, n_rows, k_seg, rp, fc):
+    """One program emits ``tb`` padded hop-rows of raw overlap-added audio.
 
     Reads ``n_rows = tb + k_seg - 1`` zero-front-padded spectral frames (the
-    k_seg−1 halo supplies cross-block overlap), iDFT-matmuls them on the MXU,
-    and overlap-adds via k_seg sublane rotations — the (B, T, n_fft) frame
-    tensor never exists in HBM (the transposed twin of ``_kernel`` above)."""
+    k_seg−1 halo supplies cross-block overlap) for one frequency chunk,
+    iDFT-matmuls them on the MXU against the padded-segment basis, and
+    overlap-adds via k_seg aligned-lane slices + sublane rotations — the
+    (B, T, n_fft) frame tensor never exists in HBM (the transposed twin of
+    ``_kernel`` above).  Frequency chunks accumulate into the revisited
+    output block."""
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    fi = pl.program_id(2)
     start = pl.multiple_of(i * tb, 8)  # tb is a multiple of 8
-    dma = pltpu.make_async_copy(spec_ref.at[bi, pl.ds(start, n_rows)], scratch, sem)
+    dma = pltpu.make_async_copy(
+        spec_ref.at[bi, pl.ds(start, n_rows), pl.ds(fi * fc, fc)], scratch, sem
+    )
     dma.start()
     dma.wait()
 
     frames = jnp.dot(scratch[:], ibasis_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # (n_rows, n_fft)
-    if k_seg * hop > n_fft:
-        frames = jnp.pad(frames, [(0, 0), (0, k_seg * hop - n_fft)])
-    acc = jnp.zeros((tb, hop), jnp.float32)
+                     precision=jax.lax.Precision.HIGHEST)  # (n_rows, k_seg·rp)
+    acc = jnp.zeros((tb, rp), jnp.float32)
     for k in range(k_seg):
-        seg = frames[:, k * hop : (k + 1) * hop]
+        seg = frames[:, k * rp : (k + 1) * rp]  # 128-aligned lane slice
         # out_row[r] += frames_padded[r + (k_seg-1-k)].segment[k]
         shift = k_seg - 1 - k
         acc = acc + pltpu.roll(seg, (n_rows - shift) % n_rows, 0)[:tb]
-    o_ref[0] = acc
+
+    @pl.when(fi == 0)
+    def _init():
+        o_ref[0] = acc
+
+    @pl.when(fi != 0)
+    def _accum():
+        o_ref[0] += acc
 
 
 def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int | None = None,
@@ -149,7 +235,9 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     hop-rows); COLA reciprocal and centre trim stay host-graph-side where XLA
     fuses them into the consumer."""
     b, n_t, fb2 = spec.shape
+    rp = _row_pad(cfg.hop)
     k_seg = -(-cfg.n_fft // cfg.hop)
+    kk = k_seg * rp
     m_rows = n_t + k_seg - 1  # raw OLA hop-rows
     tb = min(frames_per_block, -(-m_rows // 8) * 8)
     tb = -(-tb // 8) * 8  # the kernel's pl.multiple_of(i·tb, 8) hint requires it
@@ -161,31 +249,35 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     # tail >= k_seg-1 always: need = (blocks-1)·tb + n_rows ≥ m_rows + k_seg−1
     # = n_t + 2·front, so the pad below never truncates
     tail = need - (n_t + front)
-    # Mosaic HBM slices need 128-aligned lanes: zero-pad the 2F axis (and the
-    # matching ibasis rows — zero rows contribute nothing to the iDFT matmul)
-    fb2_pad = -(-fb2 // 128) * 128
+    # chunk the contraction (spectral) axis when the basis would blow VMEM;
+    # Mosaic HBM slices need 128-aligned lanes, so chunks are 128-multiples
+    # and the 2F axis is padded to a whole number of chunks (zero rows of the
+    # basis contribute nothing to the iDFT matmul)
+    f_blocks = max(1, -(-(kk * (-(-fb2 // 128) * 128) * 4) // _F_CHUNK_BYTES))
+    fc = -(-(-(-fb2 // f_blocks)) // 128) * 128
+    f_blocks = -(-fb2 // fc)
+    fb2_pad = f_blocks * fc
     spec_p = jnp.pad(spec, [(0, 0), (front, tail), (0, fb2_pad - fb2)])
 
-    ibasis = jnp.asarray(_istft_basis_np(cfg))
-    if fb2_pad != fb2:
-        ibasis = jnp.pad(ibasis, [(0, fb2_pad - fb2), (0, 0)])
-    kernel = partial(_ikernel, hop=cfg.hop, n_fft=cfg.n_fft, tb=tb,
-                     n_rows=n_rows, k_seg=k_seg)
+    ibasis = jnp.asarray(_istft_basis_padded_np(cfg, rp, k_seg, fb2_pad))
+    kernel = partial(_ikernel, tb=tb, n_rows=n_rows, k_seg=k_seg, rp=rp, fc=fc)
     out = pl.pallas_call(
         kernel,
-        grid=(b, blocks),
+        grid=(b, blocks, f_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
-            pl.BlockSpec((fb2_pad, cfg.n_fft), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fc, kk), lambda bi, ti, fi: (fi, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tb, cfg.hop), lambda bi, ti: (bi, ti, 0),
+        out_specs=pl.BlockSpec((1, tb, rp), lambda bi, ti, fi: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, blocks * tb, cfg.hop), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_rows, fb2_pad), jnp.float32), pltpu.SemaphoreType.DMA],
+        out_shape=jax.ShapeDtypeStruct((b, blocks * tb, rp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_rows, fc), jnp.float32), pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(spec_p, ibasis)
 
     raw_len = cfg.n_fft + cfg.hop * (n_t - 1)
+    if rp != cfg.hop:
+        out = out[:, :, :cfg.hop]
     raw = out.reshape(b, blocks * tb * cfg.hop)[:, :raw_len]
     start = cfg.half if cfg.center else 0
     if out_length is not None:

