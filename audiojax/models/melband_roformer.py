@@ -43,7 +43,10 @@ class MelBandConfig:
     heads: int = 8
     dim_head: int = 64
     mlp_expansion: int = 4
-    mask_depth: int = 1  # hidden tanh layers in the mask-estimator MLP
+    # hidden tanh layers in the mask-estimator MLP; the shipped checkpoint has
+    # TWO (the export wrapper hardcodes linears at net[0]/net[2]/net[4],
+    # /root/reference/Mel_Band_Roformer/Mono/Export_MelBandRoformer.py:576-584)
+    mask_depth: int = 2
     channels: int = 1  # 1 = mono, 2 = stereo
     sample_rate: int = 44100
     in_sample_rate: int = 44100

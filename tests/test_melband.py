@@ -14,7 +14,7 @@ from audiojax.models.melband_roformer import (
 
 def _tiny(ch=1):
     return MelBandConfig(n_fft=256, hop=64, num_bands=8, dim=32, depth=1, heads=2,
-                         dim_head=16, mlp_expansion=2, channels=ch,
+                         dim_head=16, mlp_expansion=2, channels=ch, mask_depth=1,
                          sample_rate=44100, in_sample_rate=44100, out_sample_rate=44100)
 
 

@@ -401,3 +401,85 @@ def test_h_gtcrn_e2e_parity_vs_reference_torch():
     snr = snr_db(ref, out)
     print(f"H-GTCRN e2e SNR vs reference torch: {snr:.1f} dB")
     assert snr >= 20.0
+
+
+# ---------------------------------------------------------------------------
+# Mel-Band Roformer  (/root/reference/Mel_Band_Roformer/Mono/
+# Export_MelBandRoformer.py) — fully self-contained reference classes; the
+# wrapper folds the STEREO checkpoint to mono exactly as our importer does.
+# ---------------------------------------------------------------------------
+
+
+def test_melband_e2e_parity_vs_reference_torch():
+    from unittest import mock
+
+    from torch import nn
+    from torch.nn import ModuleList
+
+    stft_cls = load_stft_process("Mel_Band_Roformer/Mono")
+    ns = load_reference("Mel_Band_Roformer/Mono/Export_MelBandRoformer.py",
+                        preset={"STFT_Process": stft_cls})
+
+    dim, depth, heads, dim_head, num_bands = 384, 6, 8, 64, 60
+    fb = torch.from_numpy(ns["create_mel_filter_bank"](sr=44100, n_fft=2048, n_mels=num_bands))
+    fb[0][0] = 1.0
+    fb[-1, -1] = 1.0
+    stereo_dim_inputs = tuple(2 * int(f) * 2 for f in (fb > 0).sum(dim=1))
+
+    # stereo-layout holder exactly as the wrapper builds it (:445-452)
+    torch.manual_seed(10)
+    tkw = dict(dim=dim, heads=heads, dim_head=dim_head, attn_dropout=0.0, ff_dropout=0.0)
+    st = nn.Module()
+    st.layers = ModuleList([
+        ModuleList([ns["Transformer"](depth=1, **tkw), ns["Transformer"](depth=1, **tkw)])
+        for _ in range(depth)
+    ])
+    st.band_split = ns["BandSplit"](dim=dim, dim_inputs=stereo_dim_inputs)
+    st.mask_estimators = ModuleList(
+        [ns["MaskEstimator"](dim=dim, dim_inputs=stereo_dim_inputs, depth=2)])
+    randomize_(st, 10)
+    sd = {k: v.clone() for k, v in st.state_dict().items()}
+
+    stft = stft_cls(
+        model_type="stft_B", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+        win_length=ns["WINDOW_LENGTH"], max_frames=ns["MAX_SIGNAL_LENGTH"],
+        window_type=ns["WINDOW_TYPE"], center_pad=True, pad_mode="reflect",
+        precompute_static=True, static_input_length=ns["FOLD_WINDOW_LENGTH"],
+    ).eval()
+    istft = stft_cls(
+        model_type="istft_B", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+        win_length=ns["WINDOW_LENGTH"], max_frames=ns["MAX_SIGNAL_LENGTH"],
+        window_type=ns["WINDOW_TYPE"], center_pad=True, pad_mode="reflect",
+        precompute_static=True,
+    ).eval()
+    with mock.patch.object(torch, "load", return_value=sd):  # wrapper loads model_path
+        model = ns["MelBandRoformer"](
+            stft, istft, ns["MAX_SIGNAL_LENGTH"], ns["USE_BATCH_FOLD"],
+            ns["FOLD_WINDOW_LENGTH"],
+            dim=dim, depth=depth, stereo=False, num_stems=1,
+            time_transformer_depth=1, freq_transformer_depth=1,
+            num_bands=num_bands, dim_head=dim_head, heads=heads,
+            attn_dropout=0.0, ff_dropout=0.0, stft_n_fft=ns["NFFT"],
+            stft_hop_length=ns["HOP_LENGTH"], stft_win_length=ns["WINDOW_LENGTH"],
+            sample_rate=44100, mask_estimator_depth=2,
+        ).eval()
+
+    L = ns["EXPORT_AUDIO_LENGTH"]
+    rng = np.random.default_rng(11)
+    t = np.arange(L) / 44100.0
+    sig = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 523 * t + 0.5)
+           + 0.07 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 14000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = model(torch.from_numpy(audio)).numpy()
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.melband_roformer import MelBandConfig, melband_forward
+
+    params = import_checkpoint("melband_roformer", sd, strict=False)
+    # the reference folds into independent 66150-sample windows; batch ours
+    wins = jnp.asarray(audio[0, 0].reshape(-1, ns["FOLD_WINDOW_LENGTH"]))
+    out = np.asarray(melband_forward(params, wins, MelBandConfig())).reshape(-1)
+    snr = snr_db(ref.ravel(), out)
+    print(f"Mel-Band e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
