@@ -96,6 +96,48 @@ def _install_stubs() -> None:
         sys.modules["beartype"] = bt
         sys.modules["beartype.typing"] = bt_typing
 
+    if "torchaudio" not in sys.modules:
+        # DFSMN's export needs torchaudio.compliance.kaldi.get_mel_banks at
+        # module __init__ time; the image has no torchaudio, so provide a
+        # REAL implementation written from the Kaldi formula (not a Mock —
+        # the values feed the network).
+        import math
+
+        import torch as _torch
+
+        def get_mel_banks(num_bins, window_length_padded, sample_freq,
+                          low_freq, high_freq, vtln_low, vtln_high,
+                          vtln_warp_factor):
+            assert vtln_warp_factor == 1.0, "VTLN warping not implemented"
+            num_fft_bins = window_length_padded // 2
+            nyquist = 0.5 * sample_freq
+            if high_freq <= 0.0:
+                high_freq += nyquist
+            fft_bin_width = sample_freq / window_length_padded
+            mel_low = 1127.0 * math.log(1.0 + low_freq / 700.0)
+            mel_high = 1127.0 * math.log(1.0 + high_freq / 700.0)
+            mel_delta = (mel_high - mel_low) / (num_bins + 1)
+            b = _torch.arange(num_bins, dtype=_torch.float64).unsqueeze(1)
+            left, center, right = (mel_low + (b + k) * mel_delta for k in (0, 1, 2))
+            center_freqs = 700.0 * ((center / 1127.0).exp() - 1.0)
+            mel = (1127.0 * (1.0 + fft_bin_width
+                             * _torch.arange(num_fft_bins, dtype=_torch.float64)
+                             / 700.0).log()).unsqueeze(0)
+            up = (mel - left) / (center - left)
+            down = (right - mel) / (right - center)
+            banks = _torch.clamp(_torch.minimum(up, down), min=0.0)
+            return banks.float(), center_freqs.float()
+
+        ta = types.ModuleType("torchaudio")
+        compliance = types.ModuleType("torchaudio.compliance")
+        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        kaldi.get_mel_banks = get_mel_banks
+        compliance.kaldi = kaldi
+        ta.compliance = compliance
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.compliance"] = compliance
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
     if "ml_collections" not in sys.modules:
         mlc = types.ModuleType("ml_collections")
 

@@ -483,3 +483,68 @@ def test_melband_e2e_parity_vs_reference_torch():
     snr = snr_db(ref.ravel(), out)
     print(f"Mel-Band e2e SNR vs reference torch: {snr:.1f} dB")
     assert snr >= SNR_GATE_DB
+
+
+# ---------------------------------------------------------------------------
+# DFSMN  (/root/reference/DFSMN/Export_DFSMN.py) — the export wrapper embeds
+# the fused Kaldi-fbank analysis conv + prefused DfsmnAns mask network; the
+# ModelScope network object is reproduced attribute-for-attribute with random
+# weights.  Exercises our frontend/kaldi.py end to end.
+# ---------------------------------------------------------------------------
+
+
+def test_dfsmn_e2e_parity_vs_reference_torch():
+    from torch import nn
+
+    stft_cls = load_stft_process("DFSMN")
+    ns = load_reference("DFSMN/Export_DFSMN.py", preset={"STFT_Process": stft_cls})
+
+    torch.manual_seed(12)
+    dfsmn = nn.Module()
+    dfsmn.linear1 = nn.Module(); dfsmn.linear1.linear = nn.Linear(120, 256)
+    dfsmn.linear2 = nn.Module(); dfsmn.linear2.linear = nn.Linear(256, 961)
+    deep = []
+    for _ in range(4):
+        uf = nn.Module()
+        uf.linear = nn.Linear(256, 256)
+        uf.project = nn.Linear(256, 256, bias=False)
+        uf.conv1 = nn.Conv2d(1, 256, (20, 1), bias=False)
+        uf.output_dim = 256
+        uf.lorder = 20
+        deep.append(uf)
+    dfsmn.deepfsmn = nn.ModuleList(deep)
+    randomize_(dfsmn, 12)
+    with torch.no_grad():  # keep the causal memory recursion sane when random
+        for uf in dfsmn.deepfsmn:
+            uf.project.weight.mul_(0.2)
+            uf.conv1.weight.mul_(0.2)
+    sd = {k: v.clone() for k, v in dfsmn.state_dict().items()}
+
+    stft = stft_cls(model_type="stft_B", n_fft=ns["NFFT_STFT"], win_length=ns["WINDOW_LENGTH"],
+                    hop_len=ns["HOP_LENGTH"], max_frames=0, window_type=ns["WINDOW_TYPE"],
+                    center_pad=False, pad_mode="constant").eval()
+    istft = stft_cls(model_type="istft_B", n_fft=ns["NFFT_STFT"], win_length=ns["WINDOW_LENGTH"],
+                     hop_len=ns["HOP_LENGTH"], max_frames=ns["MAX_SIGNAL_LENGTH"],
+                     window_type=ns["ISTFT_WINDOW_TYPE"], center_pad=False, pad_mode="constant",
+                     static_norm=True).eval()
+    wrapper = ns["DFSMN"](dfsmn, stft, istft, ns["NFFT_STFT"], ns["N_MELS"], 48000, 48000,
+                          use_batch_fold=False, fold_window=ns["FOLD_WINDOW_LENGTH"],
+                          static_batch=1).eval()
+
+    L = ns["INPUT_AUDIO_LENGTH"]
+    rng = np.random.default_rng(13)
+    t = np.arange(L) / 48000.0
+    sig = (0.35 * np.sin(2 * np.pi * 270 * t) + 0.15 * np.sin(2 * np.pi * 1023 * t + 0.3)
+           + 0.06 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 15000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = wrapper(torch.from_numpy(audio)).numpy()
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.dfsmn import DfsmnConfig, dfsmn_forward
+
+    params = import_checkpoint("dfsmn", sd, strict=False)
+    out = np.asarray(dfsmn_forward(params, jnp.asarray(audio[0]), DfsmnConfig()))
+    snr = snr_db(ref.ravel(), out.ravel())
+    print(f"DFSMN e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
