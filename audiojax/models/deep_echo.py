@@ -116,12 +116,14 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     padded = -(-model_len // cfg.hop) * cfg.hop
     x = jnp.pad(x, [(0, 0), (0, padded - model_len)])
 
-    spec = stft_packed(x, cfg.stft)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    spec = fast_stft_packed(x, cfg.stft)  # Pallas-fused on TPU
     nb = spec.shape[0] // 2
     fb = cfg.f_bins
     to_cl = lambda s: jnp.stack([s[..., :fb], s[..., fb:]], axis=-1)
     out = deep_echo_net(params, to_cl(spec[:nb]), to_cl(spec[nb:]), cfg)
-    y = istft_packed(out, cfg.stft, out_length=x.shape[-1])
+    y = fast_istft_packed(out, cfg.stft, out_length=x.shape[-1])
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..dsp import StftConfig, frame_signal, istft_packed
+from ..dsp import StftConfig, frame_signal
 from ..dsp.pcm import INV_INT16, fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
 from ..dsp.stft import _stft_basis_np
 from ..frontend.kaldi import log_mel_fbank
@@ -127,7 +127,9 @@ def dfsmn_forward(params, audio, cfg: DfsmnConfig = DfsmnConfig()):
 
     mask, _ = dfsmn_mask_net(params, fbank)
     masked = spec * jnp.concatenate([mask, mask], axis=-1)
-    y = istft_packed(masked, cfg.istft_cfg)
+    from ..ops.stft_pallas import fast_istft_packed
+
+    y = fast_istft_packed(masked, cfg.istft_cfg)  # Pallas-fused on TPU
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

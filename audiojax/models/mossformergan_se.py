@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..dsp import StftConfig, istft_packed, stft
+from ..dsp import StftConfig
 from ..dsp.pcm import fold_windows, resample_linear, unfold_windows
 from ..nn import core
 from ..nn.mossformer import rotary_tables
@@ -323,7 +323,10 @@ def mossformergan_forward(params, audio, cfg: MossFormerGanConfig = MossFormerGa
     norm = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True) + 1e-6)
     x = x / norm
 
-    re, im = stft(x, cfg.stft)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    pk = fast_stft_packed(x, cfg.stft)  # Pallas-fused framing+DFT on TPU
+    re, im = pk[..., : cfg.f_bins], pk[..., cfg.f_bins :]
     power = re * re + im * im
     mag_c = jnp.power(power, cfg.compress * 0.5)
     phase_scale = jnp.power(jnp.clip(power, np.finfo(np.float32).tiny, None),
@@ -331,7 +334,7 @@ def mossformergan_forward(params, audio, cfg: MossFormerGanConfig = MossFormerGa
     spec_c = jnp.stack([re, im], axis=-1) * phase_scale[..., None]
 
     out = mossformergan_net(params, mag_c, spec_c, cfg)
-    y = istft_packed(out, cfg.stft)
+    y = fast_istft_packed(out, cfg.stft)  # Pallas-fused iDFT + overlap-add
     y = y * norm
 
     if cfg.fold_window:

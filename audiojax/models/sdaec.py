@@ -113,7 +113,9 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     padded = -(-model_len // cfg.hop) * cfg.hop
     x = jnp.pad(x, [(0, 0), (0, padded - model_len)])
 
-    spec = stft_packed(x, cfg.stft)  # (2B', T, 2F)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    spec = fast_stft_packed(x, cfg.stft)  # (2B', T, 2F); Pallas-fused on TPU
     nb = spec.shape[0] // 2
     mix, far = spec[:nb], spec[nb:]
 
@@ -125,7 +127,7 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     fb = cfg.f_bins
     feats = jnp.stack([mix[..., :fb], mix[..., fb:], far[..., :fb], far[..., fb:]], axis=-1)
     out = iccrn_net(params, feats, cfg)
-    y = istft_packed(out, cfg.stft, out_length=x.shape[-1])
+    y = fast_istft_packed(out, cfg.stft, out_length=x.shape[-1])
 
     if cfg.fold_window:
         y = unfold_windows(y, batch)

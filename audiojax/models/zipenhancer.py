@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..dsp import StftConfig, istft_packed, stft
+from ..dsp import StftConfig
 from ..dsp.pcm import fold_windows, pcm_in, resample_linear, unfold_windows
 from ..nn import core
 from ..parallel.sharding import shard_hint
@@ -225,7 +225,11 @@ def zipenhancer_forward(params, audio, cfg: ZipEnhancerConfig = ZipEnhancerConfi
     norm = jnp.sqrt(jnp.mean(x * x, axis=-1, keepdims=True) + 1e-6)
     x = x / norm
 
-    re, im = stft(x, cfg.stft)
+    from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
+
+    pk = fast_stft_packed(x, cfg.stft)  # Pallas-fused framing+DFT on TPU
+    f = cfg.f_bins
+    re, im = pk[..., :f], pk[..., f:]
     mag = jnp.power(re * re + im * im + 1e-9, cfg.compress * 0.5)
     pha = jnp.arctan2(im, re + 1e-5)
 
@@ -237,7 +241,7 @@ def zipenhancer_forward(params, audio, cfg: ZipEnhancerConfig = ZipEnhancerConfi
                      jnp.asarray([1.0, 0.0]))
     spec = magnitude[..., None] * unit  # (B, T, F, 2)
     packed = jnp.concatenate([spec[..., 0], spec[..., 1]], axis=-1)
-    y = istft_packed(packed, cfg.stft)
+    y = fast_istft_packed(packed, cfg.stft)  # Pallas-fused iDFT + overlap-add
 
     y = y * norm
     if cfg.fold_window:
