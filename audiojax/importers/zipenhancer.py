@@ -59,7 +59,26 @@ def _dense_block(sd, key, depth):
     return p
 
 
-def _zip_layer(sd, key):
+def _repack_attn_in_proj(lin, num_heads: int, query_head_dim: int, pos_head_dim: int):
+    """Checkpoint in_proj rows are [Q_allheads | K_allheads | P_allheads]
+    (/root/reference/ZipEnhancer/Export_ZipEnhancer.py:246-250, the eager
+    branch); our attention_weights consumes the export's per-head [q|k|p]
+    packing (:236-241), so repack rows head-major here — exactly what the
+    export's static preparation does when it builds onnx_in_proj_weight."""
+    qd, pd, h = query_head_dim, pos_head_dim, num_heads
+    order = np.concatenate([
+        np.concatenate([np.arange(i * qd, (i + 1) * qd),
+                        h * qd + np.arange(i * qd, (i + 1) * qd),
+                        2 * h * qd + np.arange(i * pd, (i + 1) * pd)])
+        for i in range(h)
+    ])
+    out = {"w": lin["w"][:, order].copy()}
+    if "b" in lin:
+        out["b"] = lin["b"][order].copy()
+    return out
+
+
+def _zip_layer(sd, key, *, num_heads, query_head_dim, pos_head_dim):
     def ff(name):
         return {"in": linear(sd, f"{key}.{name}.in_proj"),
                 "out": linear(sd, f"{key}.{name}.out_proj")}
@@ -79,7 +98,9 @@ def _zip_layer(sd, key):
 
     return {
         "attn": {
-            "in_proj": linear(sd, f"{key}.self_attn_weights.in_proj"),
+            "in_proj": _repack_attn_in_proj(
+                linear(sd, f"{key}.self_attn_weights.in_proj"),
+                num_heads, query_head_dim, pos_head_dim),
             "linear_pos": linear(sd, f"{key}.self_attn_weights.linear_pos", bias=False),
         },
         "ff1": ff("feed_forward1"),
@@ -98,11 +119,13 @@ def _zip_layer(sd, key):
     }
 
 
-def _ts_encoder(sd, key, downsampled):
+def _ts_encoder(sd, key, downsampled, *, num_heads, query_head_dim, pos_head_dim):
+    dims = dict(num_heads=num_heads, query_head_dim=query_head_dim,
+                pos_head_dim=pos_head_dim)
     inner = f"{key}.encoder" if downsampled else key
     p = {
-        "f_layer": _zip_layer(sd, f"{inner}.f_layers.0"),
-        "t_layer": _zip_layer(sd, f"{inner}.t_layers.0"),
+        "f_layer": _zip_layer(sd, f"{inner}.f_layers.0", **dims),
+        "t_layer": _zip_layer(sd, f"{inner}.t_layers.0", **dims),
         "bypass_f": to_np(sd[f"{inner}.bypass_layers.0.bypass_scale"]).astype(np.float32),
         "bypass_t": to_np(sd[f"{inner}.bypass_layers.1.bypass_scale"]).astype(np.float32),
     }
@@ -153,5 +176,8 @@ def import_zipenhancer(ckpt, cfg=None):
     }
     for i, (t_ds, f_ds) in enumerate(cfg.encoder_downsample):
         params[f"ts{i}"] = _ts_encoder(sd, f"{_P}.TSConformer.encoders.{i}",
-                                       downsampled=not (t_ds == 1 and f_ds == 1))
+                                       downsampled=not (t_ds == 1 and f_ds == 1),
+                                       num_heads=cfg.num_heads,
+                                       query_head_dim=cfg.query_head_dim,
+                                       pos_head_dim=cfg.pos_head_dim)
     return params
