@@ -678,3 +678,193 @@ def test_zipenhancer_leaf_forwards_vs_reference():
         with torch.inference_mode():
             us_ref = ns["_simple_upsample_forward"](usm, x_t)
         snr_ok(f"upsample{factor}", us_ref.numpy(), Z.simple_upsample(x_j, factor))
+
+
+# ---------------------------------------------------------------------------
+# MossFormerGAN-SE  (/root/reference/MossFormerGAN_SE_16K/Export_MossFormer_SE.py)
+# The export wrapper uses the ClearVoice SyncANet purely as a WEIGHT
+# CONTAINER (its forward is fully inlined as functional ops), so a faithful
+# attribute tree with random weights drives the reference end to end: 6
+# SyncANet blocks (GAU triple attention, fused FFConvM pairs, SE layers),
+# dense-FSMN encoder/decoders, stft_C/istft_C, fold-batch windows.
+# ---------------------------------------------------------------------------
+
+
+def test_mossformergan_e2e_parity_vs_reference_torch():
+    from torch import nn
+
+    stft_cls = load_stft_process("MossFormerGAN_SE_16K")
+    ns = load_reference("MossFormerGAN_SE_16K/Export_MossFormer_SE.py",
+                        preset={"STFT_Process": stft_cls})
+
+    EMB, KS, HS, UV, NB, DD, LORD = 64, 4, 1, 128, 6, 4, 20
+    MFH, MFQK, ROT = 128, 128, 32
+    H, QC, VC, NFREQ = 4, 4, 16, 101
+
+
+    def ln4d(c, f=None):
+        m = nn.Module()
+        shape = (1, c, 1, 1) if f is None else (1, c, 1, f)
+        m.gamma = nn.Parameter(torch.ones(shape))
+        m.beta = nn.Parameter(torch.zeros(shape))
+        m.eps = 1e-5
+        return m
+
+
+    def ffconvm(cin, cout):
+        inner = nn.Module()
+        inner.conv = nn.Conv1d(cout, cout, 31, padding=15, groups=cout, bias=False)
+        convmod = nn.Module()
+        convmod.sequential = nn.Sequential(nn.Identity(), inner)
+        ff = nn.Module()
+        ff.mdl = nn.Sequential(nn.LayerNorm(cin), nn.Linear(cin, cout), nn.SiLU(), convmod, nn.Dropout(0.0))
+        return ff
+
+
+    def unifsmn(c):
+        uf = nn.Module()
+        uf.linear = nn.Linear(c, c)
+        uf.project = nn.Linear(c, c, bias=False)
+        uf.conv1 = nn.Conv2d(c, c, (2 * LORD - 1, 1), groups=c, bias=False)
+        uf.lorder = LORD
+        uf.output_dim = c
+        return uf
+
+
+    def mossformer():
+        mf = nn.Module()
+        mf.to_hidden = ffconvm(EMB, MFH)
+        mf.to_qk = ffconvm(EMB, MFQK)
+        mf.to_out = ffconvm(MFH // 2, EMB)
+        osc = nn.Module()
+        osc.gamma = nn.Parameter(torch.ones(4, MFQK) * 0.1)
+        osc.beta = nn.Parameter(torch.zeros(4, MFQK))
+        mf.qk_offset_scale = osc
+        rp = nn.Module()
+        rp.freqs = nn.Parameter(10000.0 ** -(torch.arange(0, ROT, 2, dtype=torch.float32) / ROT), requires_grad=False)
+        mf.rotary_pos_emb = rp
+        mf.group_size = NFREQ
+        return mf
+
+
+    def se_layer():
+        se = nn.Module()
+        se.avg_pool_layer = nn.Sequential(nn.Linear(EMB, EMB // 4), nn.ReLU(), nn.Linear(EMB // 4, EMB))
+        se.max_pool_layer = nn.Sequential(nn.Linear(EMB, EMB // 4), nn.ReLU(), nn.Linear(EMB // 4, EMB))
+        return se
+
+
+    def attn_head(cout):
+        return nn.Sequential(nn.Conv2d(EMB, cout, 1), nn.PReLU(1), ln4d(cout, NFREQ))
+
+
+    def sync_block():
+        b = nn.Module()
+        b.emb_dim, b.emb_ks, b.emb_hs, b.n_head = EMB, KS, HS, H
+        b.intra_norm = ln4d(EMB)
+        b.inter_norm = ln4d(EMB)
+        b.Fconv = nn.Conv2d(EMB, EMB * KS, (1, KS), groups=EMB)
+        b.intra_to_u = ffconvm(EMB * KS, UV)
+        b.intra_to_v = ffconvm(EMB * KS, UV)
+        b.inter_to_u = ffconvm(EMB * KS, UV)
+        b.inter_to_v = ffconvm(EMB * KS, UV)
+        b.intra_rnn = nn.ModuleList([unifsmn(UV)])
+        b.inter_rnn = nn.ModuleList([unifsmn(UV)])
+        b.intra_linear = nn.ConvTranspose1d(UV, EMB, KS, stride=HS)
+        b.inter_linear = nn.ConvTranspose1d(UV, EMB, KS, stride=HS)
+        b.intra_mossformer = mossformer()
+        b.inter_mossformer = mossformer()
+        b.intra_se = se_layer()
+        b.inter_se = se_layer()
+        for j in range(H):
+            setattr(b, f"attn_conv_Q_{j}", attn_head(QC))
+            setattr(b, f"attn_conv_K_{j}", attn_head(QC))
+            setattr(b, f"attn_conv_V_{j}", attn_head(VC))
+        b.attn_concat_proj = nn.Sequential(nn.Conv2d(H * VC, EMB, 1), nn.PReLU(EMB), ln4d(EMB, NFREQ))
+        return b
+
+
+    def dense_net(cin_base):
+        dd = nn.Module()
+        dd.depth = DD
+        for i in range(DD):
+            setattr(dd, f"conv{i+1}", nn.Conv2d(cin_base * (i + 1), cin_base, (2, 3)))
+            setattr(dd, f"norm{i+1}", nn.InstanceNorm2d(cin_base, affine=True))
+            setattr(dd, f"prelu{i+1}", nn.PReLU(cin_base))
+            holder = nn.Module()
+            holder.fsmn = unifsmn(cin_base)
+            setattr(dd, f"fsmn{i+1}", holder)
+        return dd
+
+
+    def build_model():
+        M = nn.Module()
+        M.n_layers = NB
+        enc = nn.Module()
+        enc.conv_1 = nn.Sequential(nn.Conv2d(3, EMB, 1), nn.InstanceNorm2d(EMB, affine=True), nn.PReLU(EMB))
+        enc.dilated_dense = dense_net(EMB)
+        enc.conv_2 = nn.Sequential(nn.Conv2d(EMB, EMB, (1, 3)), nn.InstanceNorm2d(EMB, affine=True), nn.PReLU(EMB))
+        M.dense_encoder = enc
+        M.blocks = nn.ModuleList([sync_block() for _ in range(NB)])
+        md = nn.Module()
+        md.dense_block = dense_net(EMB)
+        sp = nn.Module()
+        sp.conv = nn.Conv2d(EMB, 2 * EMB, (1, 3))
+        sp.r = 2
+        md.sub_pixel = sp
+        md.conv_1 = nn.Conv2d(EMB, EMB, (1, 1))
+        md.norm = nn.InstanceNorm2d(EMB, affine=True)
+        md.prelu = nn.PReLU(EMB)
+        md.final_conv = nn.Conv2d(EMB, 1, (1, 2))
+        md.prelu_out = nn.PReLU(1, init=-0.25)
+        M.mask_decoder = md
+        cd = nn.Module()
+        cd.dense_block = dense_net(EMB)
+        sp2 = nn.Module()
+        sp2.conv = nn.Conv2d(EMB, 2 * EMB, (1, 3))
+        sp2.r = 2
+        cd.sub_pixel = sp2
+        cd.norm = nn.InstanceNorm2d(EMB, affine=True)
+        cd.prelu = nn.PReLU(EMB)
+        cd.conv = nn.Conv2d(EMB, 2, (1, 2))
+        M.complex_decoder = cd
+        return M
+
+
+    torch.manual_seed(20)
+    M = build_model()
+    randomize_(M, 20)
+    M = M.eval().float()
+    sd = {k: v.clone() for k, v in M.state_dict().items()}
+    print("sd keys:", len(sd))
+
+    stft = stft_cls(model_type="stft_C", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+                    win_length=ns["WINDOW_LENGTH"], max_frames=0, window_type=ns["WINDOW_TYPE"],
+                    center_pad=True, pad_mode="reflect").eval()
+    istft = stft_cls(model_type="istft_C", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+                     win_length=ns["WINDOW_LENGTH"], max_frames=ns["MAX_SIGNAL_LENGTH"],
+                     window_type=ns["WINDOW_TYPE"], center_pad=True, pad_mode="reflect",
+                     precompute_window_sum=True).eval()
+    with torch.inference_mode():
+        wrapper = ns["MOSSFORMER_SE"](M, stft, istft, 16000, 16000, True, ns["FOLD_WINDOW_LENGTH"]).eval()
+    print("wrapper built")
+
+    L = ns["EXPORT_AUDIO_LENGTH"]
+    rng = np.random.default_rng(21)
+    t = np.arange(L) / 16000.0
+    sig = (0.35 * np.sin(2 * np.pi * 250 * t) + 0.15 * np.sin(2 * np.pi * 997 * t + 0.2)
+           + 0.06 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 15000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = wrapper(torch.from_numpy(audio)).numpy()
+    print("ref done", ref.shape, float(np.abs(ref).max()))
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.mossformergan_se import MossFormerGanConfig, mossformergan_forward
+
+    cfg = MossFormerGanConfig()
+    params = import_checkpoint("mossformergan_se", sd, strict=False)
+    out = np.asarray(mossformergan_forward(params, jnp.asarray(audio[0]), cfg))
+    snr = snr_db(ref.ravel(), out.ravel())
+    print(f"MossFormerGAN e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
