@@ -868,3 +868,149 @@ def test_mossformergan_e2e_parity_vs_reference_torch():
     snr = snr_db(ref.ravel(), out.ravel())
     print(f"MossFormerGAN e2e SNR vs reference torch: {snr:.1f} dB")
     assert snr >= SNR_GATE_DB
+
+
+# ---------------------------------------------------------------------------
+# MossFormer2-SE-48K  (/root/reference/MossFormer2_SE_48K/Export_MossFormer_SE.py)
+# Weight-container pattern again: the wrapper inlines the whole ClearVoice
+# MossFormer2 forward functionally, so a faithful attribute tree drives the
+# reference end to end — 24x [FLASH + gated FSMN] at dim 512, fused
+# Kaldi-fbank frontend with delta/delta-delta features, hamming istft_B.
+# ---------------------------------------------------------------------------
+
+
+def test_mossformer2_se_e2e_parity_vs_reference_torch():
+    from torch import nn
+
+    stft_cls = load_stft_process("MossFormer2_SE_48K")
+    ns = load_reference("MossFormer2_SE_48K/Export_MossFormer_SE.py",
+                        preset={"STFT_Process": stft_cls})
+
+    DIM, DEPTH, GS, QK, VU, ROT, NMELS = 512, 24, 256, 128, 1024, 32, 60
+    DW = 17  # depthwise ConvModule kernel (odd; wrapper reads it from the module)
+
+
+    class ScaleNorm(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = 1e-5
+            self.g = nn.Parameter(torch.ones(1))
+
+
+    def ffconvm(cin, cout, norm):
+        inner = nn.Module()
+        inner.conv = nn.Conv1d(cout, cout, DW, padding=(DW - 1) // 2, groups=cout, bias=False)
+        convmod = nn.Module()
+        convmod.sequential = nn.Sequential(nn.Identity(), inner)
+        ff = nn.Module()
+        n = ScaleNorm(cin) if norm == "scale" else nn.LayerNorm(cin)
+        ff.mdl = nn.Sequential(n, nn.Linear(cin, cout), nn.SiLU(), convmod, nn.Dropout(0.0))
+        return ff
+
+
+    def flash():
+        fl = nn.Module()
+        fl.group_size = GS
+        fl.to_hidden = ffconvm(DIM, 2 * VU, "scale")
+        fl.to_qk = ffconvm(DIM, QK, "scale")
+        fl.to_out = ffconvm(VU, DIM, "scale")
+        osc = nn.Module()
+        osc.gamma = nn.Parameter(torch.ones(4, QK) * 0.1)
+        osc.beta = nn.Parameter(torch.zeros(4, QK))
+        fl.qk_offset_scale = osc
+        rp = nn.Module()
+        rp.freqs = nn.Parameter(10000.0 ** -(torch.arange(0, ROT, 2, dtype=torch.float32) / ROT),
+                                requires_grad=False)
+        fl.rotary_pos_emb = rp
+        return fl
+
+
+    def gated_block():
+        g = nn.Module()
+        g.conv1 = nn.Sequential(nn.Conv1d(DIM, VU, 1), nn.PReLU(VU))
+        g.norm1 = nn.LayerNorm(VU)
+        gf = nn.Module()
+        gf.to_u = ffconvm(VU, VU, "layer")
+        gf.to_v = ffconvm(VU, VU, "layer")
+        uf = nn.Module()
+        uf.linear = nn.Linear(VU, VU)
+        uf.project = nn.Linear(VU, VU, bias=False)
+        uf.conv1 = nn.Conv2d(VU, VU, (39, 1), groups=VU, bias=False)
+        uf.lorder = 20
+        uf.output_dim = VU
+        gf.fsmn = uf
+        g.gated_fsmn = gf
+        g.norm2 = nn.LayerNorm(VU)
+        g.conv2 = nn.Conv1d(VU, DIM, 1)
+        return g
+
+
+    def build_model():
+        inner = nn.Module()
+        inner.norm = nn.GroupNorm(1, 3 * NMELS, eps=1e-8)
+        inner.conv1d_encoder = nn.Conv1d(3 * NMELS, DIM, 1)
+        pe = nn.Module()
+        pe.inv_freq = nn.Parameter(
+            1.0 / (10000.0 ** (torch.arange(0, DIM, 2, dtype=torch.float32) / DIM)),
+            requires_grad=False)
+        pe.scale = nn.Parameter(torch.tensor(DIM ** -0.5), requires_grad=False)
+        inner.pos_enc = pe
+        mdl = nn.Module()
+        intra = nn.Module()
+        mm = nn.Module()
+        mm.layers = nn.ModuleList([flash() for _ in range(DEPTH)])
+        mm.fsmn = nn.ModuleList([gated_block() for _ in range(DEPTH)])
+        intra.mossformerM = mm
+        intra.norm = nn.LayerNorm(DIM)
+        mdl.intra_mdl = intra
+        mdl.intra_norm = nn.GroupNorm(1, DIM, eps=1e-8)
+        inner.mdl = mdl
+        inner.prelu = nn.PReLU(1)
+        inner.conv1d_out = nn.Conv1d(DIM, 2 * DIM, 1)
+        inner.output = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Tanh())
+        inner.output_gate = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Sigmoid())
+        inner.conv1_decoder = nn.Conv1d(DIM, ns["NFFT"] // 2 + 1, 1, bias=False)
+        outer = nn.Module()
+        outer.mossformer = inner
+        return outer
+
+
+    torch.manual_seed(30)
+    M = build_model()
+    randomize_(M, 30)
+    M = M.eval().float()
+    sd = {f"mossformer_se.{k}": v.clone() for k, v in M.mossformer.state_dict().items()}
+    # print("sd keys:", len(sd))
+
+    stft = stft_cls(model_type="stft_B", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+                    win_length=ns["WINDOW_LENGTH"], max_frames=0, window_type=ns["WINDOW_TYPE"],
+                    center_pad=False, pad_mode="constant").eval()
+    istft = stft_cls(model_type="istft_B", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+                     win_length=ns["WINDOW_LENGTH"], max_frames=ns["MAX_SIGNAL_LENGTH"],
+                     window_type=ns["WINDOW_TYPE"], center_pad=False, pad_mode="constant",
+                     static_frames=True).eval()
+    with torch.inference_mode():
+        wrapper = ns["MOSSFORMER_SE"](M, stft, istft, ns["NFFT"], ns["N_MELS"], 48000, 48000,
+                                      ns["MAX_SIGNAL_LENGTH"], False, ns["FOLD_WINDOW_LENGTH"]).eval()
+
+
+    L = ns["INPUT_AUDIO_LENGTH"]
+    rng = np.random.default_rng(31)
+    t = np.arange(L) / 48000.0
+    sig = (0.35 * np.sin(2 * np.pi * 250 * t) + 0.15 * np.sin(2 * np.pi * 997 * t + 0.2)
+           + 0.06 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 15000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = wrapper(torch.from_numpy(audio)).numpy()
+    # print("ref done", ref.shape, float(np.abs(ref).max()))
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.mossformer2_se import MossFormer2SeConfig, mossformer2_se_forward
+
+    cfg = MossFormer2SeConfig()
+    params = import_checkpoint("mossformer2_se", sd, strict=False)
+    out = np.asarray(mossformer2_se_forward(params, jnp.asarray(audio[0]), cfg))
+    snr = snr_db(ref.ravel(), out.ravel())
+    print(f"MossFormer2-SE e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
