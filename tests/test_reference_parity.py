@@ -1014,3 +1014,156 @@ def test_mossformer2_se_e2e_parity_vs_reference_torch():
     snr = snr_db(ref.ravel(), out.ravel())
     print(f"MossFormer2-SE e2e SNR vs reference torch: {snr:.1f} dB")
     assert snr >= SNR_GATE_DB
+
+
+# ---------------------------------------------------------------------------
+# MossFormer2-SS-16K  (/root/reference/MossFormer2_SS_16K/
+# Export_MossFormer2_SS_16K.py) — weight-container pattern: 24x [FLASH +
+# dilated gated-FSMN], time-domain conv encoder / ConvTranspose decoder,
+# two-stage RMS norm, per-speaker gated mask tail, fold-batch windows.
+# ---------------------------------------------------------------------------
+
+
+def test_mossformer2_ss_e2e_parity_vs_reference_torch():
+    from torch import nn
+
+    ns = load_reference("MossFormer2_SS_16K/Export_MossFormer2_SS_16K.py")
+
+    DIM, DEPTH, GS, QK, VU, ROT, INNER, LORD, DW, SPKS = 512, 24, 256, 128, 1024, 32, 256, 20, 17, 2
+
+
+    class ScaleNorm(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = 1e-5
+            self.g = nn.Parameter(torch.ones(1))
+
+
+    def ffconvm(cin, cout, norm):
+        inner = nn.Module()
+        inner.conv = nn.Conv1d(cout, cout, DW, padding=(DW - 1) // 2, groups=cout, bias=False)
+        convmod = nn.Module()
+        convmod.sequential = nn.Sequential(nn.Identity(), inner)
+        ff = nn.Module()
+        n = ScaleNorm(cin) if norm == "scale" else nn.LayerNorm(cin)
+        ff.mdl = nn.Sequential(n, nn.Linear(cin, cout), nn.SiLU(), convmod, nn.Dropout(0.0))
+        return ff
+
+
+    def flash():
+        fl = nn.Module()
+        fl.group_size = GS
+        fl.to_hidden = ffconvm(DIM, 2 * VU, "scale")
+        fl.to_qk = ffconvm(DIM, QK, "scale")
+        fl.to_out = ffconvm(VU, DIM, "scale")
+        osc = nn.Module()
+        osc.gamma = nn.Parameter(torch.ones(4, QK) * 0.1)
+        osc.beta = nn.Parameter(torch.zeros(4, QK))
+        fl.qk_offset_scale = osc
+        rp = nn.Module()
+        rp.freqs = nn.Parameter(10000.0 ** -(torch.arange(0, ROT, 2, dtype=torch.float32) / ROT),
+                                requires_grad=False)
+        fl.rotary_pos_emb = rp
+        return fl
+
+
+    def gated_dilated():
+        g = nn.Module()
+        g.conv1 = nn.Sequential(nn.Conv1d(DIM, INNER, 1), nn.PReLU(1))
+        g.norm1 = nn.LayerNorm(INNER)
+        gf = nn.Module()
+        gf.to_u = ffconvm(INNER, INNER, "layer")
+        gf.to_v = ffconvm(INNER, INNER, "layer")
+        uf = nn.Module()
+        uf.linear = nn.Linear(INNER, INNER)
+        uf.project = nn.Linear(INNER, INNER, bias=False)
+        uf.depth = 2
+        uf.lorder = LORD
+        conv = nn.Module()
+        for j in range(2):
+            setattr(conv, f"conv{j+1}", nn.Conv2d(INNER * (j + 1), INNER, (2 * LORD - 1, 1),
+                                                  dilation=(2 ** j, 1), groups=INNER, bias=False))
+            setattr(conv, f"norm{j+1}", nn.InstanceNorm2d(INNER, affine=True))
+            setattr(conv, f"prelu{j+1}", nn.PReLU(INNER))
+        uf.conv = conv
+        gf.fsmn = uf
+        g.gated_fsmn = gf
+        g.norm2 = nn.LayerNorm(INNER)
+        g.conv2 = nn.Conv1d(INNER, DIM, 1)
+        return g
+
+
+    def build_model():
+        M = nn.Module()
+        M.num_spks = SPKS
+        enc = nn.Module()
+        enc.conv1d = nn.Conv1d(1, DIM, 16, stride=8, bias=False)
+        M.enc = enc
+        M.dec = nn.ConvTranspose1d(DIM, 1, 16, stride=8, bias=False)
+        mn = nn.Module()
+        mn.norm = nn.GroupNorm(1, DIM, eps=1e-8)
+        mn.conv1d_encoder = nn.Conv1d(DIM, DIM, 1, bias=False)
+        pe = nn.Module()
+        pe.inv_freq = nn.Parameter(
+            1.0 / (10000.0 ** (torch.arange(0, DIM, 2, dtype=torch.float32) / DIM)),
+            requires_grad=False)
+        pe.scale = nn.Parameter(torch.tensor(DIM ** -0.5), requires_grad=False)
+        mn.pos_enc = pe
+        mdl = nn.Module()
+        intra = nn.Module()
+        mm = nn.Module()
+        mm.layers = nn.ModuleList([flash() for _ in range(DEPTH)])
+        mm.fsmn = nn.ModuleList([gated_dilated() for _ in range(DEPTH)])
+        intra.mossformerM = mm
+        intra.norm = nn.LayerNorm(DIM)
+        mdl.intra_mdl = intra
+        mdl.intra_norm = nn.GroupNorm(1, DIM, eps=1e-8)
+        mn.mdl = mdl
+        mn.prelu = nn.PReLU(1)
+        mn.conv1d_out = nn.Conv1d(DIM, SPKS * DIM, 1)
+        mn.output = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Tanh())
+        mn.output_gate = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Sigmoid())
+        mn.conv1_decoder = nn.Conv1d(DIM, DIM, 1, bias=False)
+        M.mask_net = mn
+        return M
+
+
+    torch.manual_seed(40)
+    M = build_model()
+    randomize_(M, 40)
+    M = M.eval().float()
+    sd = {f"mossformer_ss.{k}": v.clone() for k, v in M.state_dict().items()}
+    # print("sd keys:", len(sd))
+
+    with torch.inference_mode():
+        wrapper = ns["MOSSFORMER_SS"](M, ns["INPUT_AUDIO_LENGTH"], 16000, 16000,
+                                      ns["USE_BATCH_FOLD"], ns["FOLD_WINDOW_LENGTH"]).eval()
+
+    W = ns["FOLD_WINDOW_LENGTH"]
+    nwin = -(-ns["INPUT_AUDIO_LENGTH"] // W)
+    L = nwin * W
+    rng = np.random.default_rng(41)
+    t = np.arange(L) / 16000.0
+    sig = (0.35 * np.sin(2 * np.pi * 250 * t) + 0.2 * np.sin(2 * np.pi * 821 * t + 0.9)
+           + 0.06 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 15000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = wrapper(torch.from_numpy(audio))
+    ref = ref.numpy() if not isinstance(ref, tuple) else np.stack([r.numpy() for r in ref])
+    # print("ref done", ref.shape)
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.mossformer2_ss import MossFormer2SsConfig, mossformer2_ss_forward
+
+    cfg = MossFormer2SsConfig()
+    params = import_checkpoint("mossformer2_ss", sd, strict=False)
+    wins = jnp.asarray(audio[0, 0].reshape(nwin, W))
+    outs = mossformer2_ss_forward(params, wins, cfg)  # tuple of (nwin, W) per spk
+    ours = np.stack([np.asarray(o) for o in outs], axis=1)  # (nwin, spks, W)
+    # print("ours", ours.shape)
+    ref_spk = ref.reshape(SPKS, -1)              # (spks, nwin*W) stitched
+    ours_spk = ours.transpose(1, 0, 2).reshape(SPKS, -1)
+    snr = min(snr_db(ref_spk[s], ours_spk[s]) for s in range(SPKS))
+    print(f"MossFormer2-SS e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
