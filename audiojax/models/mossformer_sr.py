@@ -149,10 +149,14 @@ def sr_masknet(p, mel, cfg: MossFormerSrConfig):
     mdl_input = x
     h = x
     for i in range(cfg.depth):
+        # The SR export shows no explicit residual Adds because it folds the
+        # identity into every depthwise kernel's CENTER TAP (+1.0,
+        # Export_MossFormer_SR.py:296-313,355-362) — the ConvModule and
+        # UniDeepFsmn inner residuals are therefore all PRESENT, same as
+        # MossFormer2-SE (caught by tests/test_reference_parity.py).
         h = flash_layer(p[f"flash{i}"], h, group_size=cfg.group_size, qk_dim=cfg.qk_dim,
                         rot_dim=cfg.rot_dim)
-        h = gated_fsmn_block(p[f"fsmn{i}"], h, lorder=cfg.lorder,
-                             conv_residual=False, inner_residual=False)
+        h = gated_fsmn_block(p[f"fsmn{i}"], h, lorder=cfg.lorder)
     h = core.layer_norm(p["mm_norm"], h)
     h = group_norm_all(p["intra_norm"], h)
     x = h + mdl_input

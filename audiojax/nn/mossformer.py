@@ -104,8 +104,14 @@ def sinusoid_positions(length: int, dim: int):
     return jnp.asarray(_sinusoid_np(length, dim))
 
 
-def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: float = 1e-5):
-    """One FLASH_ShareA_FFConvM layer. x: (B, T, D) → (B, T, D)."""
+def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: float = 1e-5,
+                conv_residual: bool = True):
+    """One FLASH_ShareA_FFConvM layer. x: (B, T, D) → (B, T, D).
+
+    ``conv_residual``: MossFormer2-SE/SS ConvModules add the depthwise conv to
+    their input; the MossFormer-SR variant REPLACES the activation with the
+    conv output instead (/root/reference/MossFormer2_Super_Resolution/
+    Export_MossFormer_SR.py:485,516 — no ``proj +``/``y +``)."""
     b, t, d = x.shape
     residual = x
 
@@ -117,7 +123,10 @@ def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: f
     h = scale_norm(p["in_norm"], h, eps=eps)
     proj = jax.nn.silu(core.dense(p["in_lin"], h))
     k = p["in_conv"]["w"].shape[0]
-    proj = _depthwise_res(p["in_conv"], proj, (k - 1) // 2)
+    if conv_residual:
+        proj = _depthwise_res(p["in_conv"], proj, (k - 1) // 2)
+    else:
+        proj = core.conv1d(p["in_conv"], proj, padding=(k - 1) // 2, groups=proj.shape[-1])
 
     vu2 = proj.shape[-1] - qk_dim
     vu = vu2 // 2
@@ -161,7 +170,10 @@ def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: f
     out = scale_norm(p["out_norm"], out, eps=eps)
     out = jax.nn.silu(core.dense(p["out_lin"], out))
     k2 = p["out_conv"]["w"].shape[0]
-    out = _depthwise_res(p["out_conv"], out, (k2 - 1) // 2)
+    if conv_residual:
+        out = _depthwise_res(p["out_conv"], out, (k2 - 1) // 2)
+    else:
+        out = core.conv1d(p["out_conv"], out, padding=(k2 - 1) // 2, groups=out.shape[-1])
     return residual + out
 
 
@@ -169,9 +181,10 @@ def gated_fsmn_block(p, x, *, lorder: int, eps: float = 1e-8,
                      conv_residual: bool = True, inner_residual: bool = True):
     """Gated_FSMN_Block (Export_MossFormer_SE.py:444-472). x: (B, T, D).
 
-    Variant flags: the SR mask net's FFConvM ConvModule has NO residual add and
-    its memory drops the inner xp residual
-    (/root/reference/MossFormer2_Super_Resolution/Export_MossFormer_SR.py:520-528).
+    NOTE: the SR export's seemingly residual-free forward actually folds the
+    identity into every depthwise kernel's center tap (+1.0,
+    Export_MossFormer_SR.py:296-313,355-362), so ALL MossFormer variants use
+    the default residuals; the flags remain for experimentation only.
     """
     blk_in = x
     h = core.prelu(p["conv1_act"], core.dense(p["conv1"], x))

@@ -128,15 +128,52 @@ def _install_stubs() -> None:
             banks = _torch.clamp(_torch.minimum(up, down), min=0.0)
             return banks.float(), center_freqs.float()
 
+        def melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate,
+                            norm=None, mel_scale="htk"):
+            """Slaney-scale mel filterbank (torchaudio.functional semantics),
+            implemented from the Slaney formula — MossFormer-SR feeds these
+            values into the network."""
+            assert mel_scale == "slaney" and norm == "slaney"
+
+            def hz_to_mel(f):
+                f = _torch.as_tensor(f, dtype=_torch.float64)
+                lin = 3.0 * f / 200.0
+                logstep = math.log(6.4) / 27.0
+                return _torch.where(f >= 1000.0,
+                                    15.0 + (f / 1000.0).log() / logstep, lin)
+
+            def mel_to_hz(m):
+                logstep = math.log(6.4) / 27.0
+                return _torch.where(m >= 15.0,
+                                    1000.0 * ((m - 15.0) * logstep).exp(),
+                                    200.0 * m / 3.0)
+
+            all_freqs = _torch.linspace(0, sample_rate // 2, n_freqs,
+                                        dtype=_torch.float64)
+            m_pts = _torch.linspace(hz_to_mel(f_min).item(), hz_to_mel(f_max).item(),
+                                    n_mels + 2, dtype=_torch.float64)
+            f_pts = mel_to_hz(m_pts)
+            f_diff = f_pts[1:] - f_pts[:-1]
+            slopes = f_pts.unsqueeze(0) - all_freqs.unsqueeze(1)  # (n_freqs, n_mels+2)
+            down = -slopes[:, :-2] / f_diff[:-1]
+            up = slopes[:, 2:] / f_diff[1:]
+            fb = _torch.clamp(_torch.minimum(down, up), min=0.0)
+            enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+            return (fb * enorm.unsqueeze(0)).float()
+
         ta = types.ModuleType("torchaudio")
         compliance = types.ModuleType("torchaudio.compliance")
         kaldi = types.ModuleType("torchaudio.compliance.kaldi")
         kaldi.get_mel_banks = get_mel_banks
         compliance.kaldi = kaldi
         ta.compliance = compliance
+        functional = types.ModuleType("torchaudio.functional")
+        functional.melscale_fbanks = melscale_fbanks
+        ta.functional = functional
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.compliance"] = compliance
         sys.modules["torchaudio.compliance.kaldi"] = kaldi
+        sys.modules["torchaudio.functional"] = functional
 
     if "ml_collections" not in sys.modules:
         mlc = types.ModuleType("ml_collections")

@@ -1167,3 +1167,224 @@ def test_mossformer2_ss_e2e_parity_vs_reference_torch():
     snr = min(snr_db(ref_spk[s], ours_spk[s]) for s in range(SPKS))
     print(f"MossFormer2-SS e2e SNR vs reference torch: {snr:.1f} dB")
     assert snr >= SNR_GATE_DB
+
+
+# ---------------------------------------------------------------------------
+# MossFormer-SR 48k  (/root/reference/MossFormer2_Super_Resolution/
+# Export_MossFormer_SR.py) — weight-container pattern: polyphase sinc x3
+# upsampler, HiFi-GAN mel frontend, 24x [FLASH + gated FSMN] mask net,
+# Snake HiFi-GAN generator, Kaiser FIR bandwidth-substitution crossover.
+# Component gates at 40 dB; the e2e gate is 20 dB because the random-weight
+# Snake generator (sin^2 nonlinearities through 4 upsample stages) amplifies
+# the masknet's ~70 dB input agreement chaotically (measured: identical
+# generator inputs agree at 65 dB, the 70 dB masknet difference alone drops
+# the generator output to ~26 dB).  Wiring errors land near 0 dB.
+# ---------------------------------------------------------------------------
+
+
+def test_mossformer_sr_e2e_parity_vs_reference_torch():
+    from torch import nn
+
+    stft_cls = load_stft_process("MossFormer2_Super_Resolution")
+    ns = load_reference("MossFormer2_Super_Resolution/Export_MossFormer_SR.py",
+                        preset={"STFT_Process": stft_cls})
+
+    DIM, DEPTH, GS, QK, VU, ROT, INNER, LORD, DW, NMELS = 512, 24, 256, 128, 1024, 32, 256, 20, 17, 80
+    UP_RATES, UP_KERNELS = (8, 8, 2, 2), (16, 16, 4, 4)
+    RES_KERNELS, RES_DILS, GEN_CH = (3, 7, 11), (1, 3, 5), 1024
+
+
+    class ScaleNorm(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = 1e-5
+            self.g = nn.Parameter(torch.ones(1))
+
+
+    class Snake(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.alpha = nn.Parameter(torch.ones(1, c, 1))
+
+
+    def ffconvm(cin, cout, norm):
+        inner = nn.Module()
+        inner.conv = nn.Conv1d(cout, cout, DW, padding=(DW - 1) // 2, groups=cout, bias=False)
+        convmod = nn.Module()
+        convmod.sequential = nn.Sequential(nn.Identity(), inner)
+        ff = nn.Module()
+        n = ScaleNorm(cin) if norm == "scale" else nn.LayerNorm(cin)
+        ff.mdl = nn.Sequential(n, nn.Linear(cin, cout), nn.SiLU(), convmod, nn.Dropout(0.0))
+        return ff
+
+
+    def flash():
+        fl = nn.Module()
+        fl.group_size = GS
+        fl.to_hidden = ffconvm(DIM, 2 * VU, "scale")
+        fl.to_qk = ffconvm(DIM, QK, "scale")
+        fl.to_out = ffconvm(VU, DIM, "scale")
+        osc = nn.Module()
+        osc.gamma = nn.Parameter(torch.ones(4, QK) * 0.1)
+        osc.beta = nn.Parameter(torch.zeros(4, QK))
+        fl.qk_offset_scale = osc
+        rp = nn.Module()
+        rp.freqs = nn.Parameter(10000.0 ** -(torch.arange(0, ROT, 2, dtype=torch.float32) / ROT),
+                                requires_grad=False)
+        fl.rotary_pos_emb = rp
+        return fl
+
+
+    def gated_block():
+        g = nn.Module()
+        g.conv1 = nn.Sequential(nn.Conv1d(DIM, INNER, 1), nn.PReLU(1))
+        g.norm1 = nn.LayerNorm(INNER)
+        gf = nn.Module()
+        gf.to_u = ffconvm(INNER, INNER, "layer")
+        gf.to_v = ffconvm(INNER, INNER, "layer")
+        uf = nn.Module()
+        uf.linear = nn.Linear(INNER, INNER)
+        uf.project = nn.Linear(INNER, INNER, bias=False)
+        uf.conv1 = nn.Conv2d(INNER, INNER, (2 * LORD - 1, 1), groups=INNER, bias=False)
+        uf.lorder = LORD
+        uf.output_dim = INNER
+        gf.fsmn = uf
+        g.gated_fsmn = gf
+        g.norm2 = nn.LayerNorm(INNER)
+        g.conv2 = nn.Conv1d(INNER, DIM, 1)
+        return g
+
+
+    def build_mask_net():
+        mn = nn.Module()
+        mn.norm = nn.GroupNorm(1, NMELS, eps=1e-8)
+        mn.conv1d_encoder = nn.Conv1d(NMELS, DIM, 1)
+        pe = nn.Module()
+        pe.inv_freq = nn.Parameter(
+            1.0 / (10000.0 ** (torch.arange(0, DIM, 2, dtype=torch.float32) / DIM)),
+            requires_grad=False)
+        pe.scale = nn.Parameter(torch.tensor(DIM ** -0.5), requires_grad=False)
+        mn.pos_enc = pe
+        mdl = nn.Module()
+        intra = nn.Module()
+        mm = nn.Module()
+        mm.layers = nn.ModuleList([flash() for _ in range(DEPTH)])
+        mm.fsmn = nn.ModuleList([gated_block() for _ in range(DEPTH)])
+        intra.mossformerM = mm
+        intra.norm = nn.LayerNorm(DIM)
+        mdl.intra_mdl = intra
+        mdl.intra_norm = nn.GroupNorm(1, DIM, eps=1e-8)
+        mn.mdl = mdl
+        mn.prelu = nn.PReLU(1)
+        mn.conv1d_out = nn.Conv1d(DIM, 2 * DIM, 1)
+        mn.output = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Tanh())
+        mn.output_gate = nn.Sequential(nn.Conv1d(DIM, DIM, 1), nn.Sigmoid())
+        mn.conv1_decoder = nn.Conv1d(DIM, NMELS, 1, bias=False)
+        return mn
+
+
+    class ResBlock1(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            self.convs1 = nn.ModuleList([
+                nn.Conv1d(ch, ch, 3, dilation=d, padding=(3 - 1) * d // 2) for d in RES_DILS])
+            self.convs2 = nn.ModuleList([nn.Conv1d(ch, ch, 3, padding=1) for _ in RES_DILS])
+            self.convs1_activates = nn.ModuleList([Snake(ch) for _ in RES_DILS])
+            self.convs2_activates = nn.ModuleList([Snake(ch) for _ in RES_DILS])
+
+
+    def build_generator():
+        g = nn.Module()
+        g.num_upsamples = len(UP_RATES)
+        g.num_kernels = len(RES_KERNELS)
+        g.conv_pre = nn.Conv1d(NMELS, GEN_CH, 7, padding=3)
+        snakes, ups, resblocks = [], [], []
+        ch = GEN_CH
+        for i, (r, k) in enumerate(zip(UP_RATES, UP_KERNELS)):
+            snakes.append(Snake(ch))
+            ups.append(nn.ConvTranspose1d(ch, ch // 2, k, stride=r, padding=(k - r) // 2))
+            ch //= 2
+            for kk in RES_KERNELS:
+                rb = ResBlock1(ch)
+                # use the real kernel size per block
+                rb.convs1 = nn.ModuleList([
+                    nn.Conv1d(ch, ch, kk, dilation=d, padding=(kk - 1) * d // 2) for d in RES_DILS])
+                rb.convs2 = nn.ModuleList([nn.Conv1d(ch, ch, kk, padding=(kk - 1) // 2) for d in RES_DILS])
+                resblocks.append(rb)
+        g.snakes = nn.ModuleList(snakes)
+        g.ups = nn.ModuleList(ups)
+        g.resblocks = nn.ModuleList(resblocks)
+        g.snake_post = Snake(ch)
+        g.conv_post = nn.Conv1d(ch, 1, 7, padding=3)
+        return g
+
+
+    torch.manual_seed(50)
+    mask_holder = nn.Module()
+    mask_holder.mossformer = build_mask_net()
+    gen = build_generator()
+    randomize_(mask_holder, 50)
+    randomize_(gen, 51)
+    mask_holder = mask_holder.eval().float()
+    gen = gen.eval().float()
+    sd = {f"mask_net.{k}": v.clone() for k, v in mask_holder.mossformer.state_dict().items()}
+    sd.update({f"generator.{k}": v.clone() for k, v in gen.state_dict().items()})
+    # print("sd keys:", len(sd))
+
+    pre_stft = stft_cls(model_type="stft_B", n_fft=ns["NFFT"], hop_len=ns["HOP_LENGTH"],
+                        win_length=ns["WINDOW_LENGTH"], max_frames=0, window_type=ns["WINDOW_TYPE"],
+                        center_pad=False, pad_mode="reflect").eval()
+    with torch.inference_mode():
+        wrapper = ns["MOSSFORMER_SR"]([mask_holder, gen], pre_stft, ns["NFFT"], ns["N_MELS"],
+                                      16000, 48000, input_audio_len=ns["INPUT_AUDIO_LENGTH"]).eval()
+
+    L = ns["INPUT_AUDIO_LENGTH"]
+    rng = np.random.default_rng(51)
+    t = np.arange(L) / 16000.0
+    sig = (0.35 * np.sin(2 * np.pi * 250 * t) + 0.2 * np.sin(2 * np.pi * 1321 * t + 0.9)
+           + 0.05 * rng.standard_normal(L))
+    audio = (np.clip(sig, -0.999, 0.999) * 15000).astype(np.int16)[None, None]
+    with torch.inference_mode():
+        ref = wrapper(torch.from_numpy(audio)).numpy()
+    # print("ref done", ref.shape)
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.mossformer_sr import MossFormerSrConfig, mossformer_sr_forward
+
+    cfg = MossFormerSrConfig()
+    params = import_checkpoint("mossformer2_sr", sd, strict=False)
+    out = np.asarray(mossformer_sr_forward(params, jnp.asarray(audio[0]), cfg))
+    # print("ours", out.shape)
+    snr = snr_db(ref.ravel(), out.ravel())
+    print(f"MossFormer-SR e2e SNR vs reference torch: {snr:.1f} dB")
+    assert snr >= 20.0
+
+    # component gates: masknet and generator each >= 40 dB on shared inputs
+    import torch.nn.functional as F
+
+    from audiojax.dsp import frame_signal
+    from audiojax.dsp.stft import _stft_basis_np
+    from audiojax.frontend.mel import slaney_mel_fbanks
+    from audiojax.models import mossformer_sr as SR
+    from jax import lax as _lax
+
+    with torch.inference_mode():
+        up_ref = wrapper._upsample(torch.from_numpy(audio).float())
+        mp = wrapper.mel_pad
+        am = F.pad(up_ref, (mp, mp), mode="reflect")
+        spectrum = F.conv1d(am, wrapper.stft_kernel, stride=wrapper.stft_hop)
+        spectrum = spectrum.reshape(1, 2, wrapper.stft_bins, wrapper.static_frames)
+        magnitude = torch.sqrt(spectrum.square().sum(dim=1) + wrapper.mel_power_epsilon)
+        mel_ref = torch.matmul(wrapper.fbank, magnitude).clamp(min=1e-5).log()
+        mask_ref = wrapper._run_masknet(mel_ref, wrapper.static_frames)
+        gen_ref = wrapper._run_generator(mask_ref)
+
+    mel_j = jnp.asarray(mel_ref.numpy()[0].T)[None]
+    enh = SR.sr_masknet(params, mel_j, cfg)
+    mask_snr = snr_db(mask_ref.numpy()[0].T.ravel(), np.asarray(enh)[0].ravel())
+    gen_same = SR.hifigan_generator(params["gen"], jnp.asarray(mask_ref.numpy()[0].T)[None], cfg)
+    gen_snr = snr_db(gen_ref.numpy().ravel(), np.asarray(gen_same).ravel())
+    print(f"MossFormer-SR masknet SNR {mask_snr:.1f} dB, generator SNR {gen_snr:.1f} dB")
+    assert mask_snr >= SNR_GATE_DB
+    assert gen_snr >= SNR_GATE_DB
