@@ -35,6 +35,14 @@ class DeepEchoConfig:
     out_sample_rate: int = 16000
     fold_window: int = 0
     center: bool = True  # False = snip-edges framing (streaming-equivalent)
+    # The standalone exports mean-center the pair (Export_Deep_Echo.py:386); the
+    # DFSMN_AEC cascade does NOT (_preprocess_audio_pair,
+    # /root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1198-1216) — the cascade
+    # builds backends with demean=False.
+    demean: bool = True
+    # The cascade chains the temp waveform in float (see sdaec.py:
+    # SdaecConfig.float_output); cascade backends set float_output=True.
+    float_output: bool = False
 
     @property
     def stft(self) -> StftConfig:
@@ -101,7 +109,8 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     x = pcm_in(pair)
     if cfg.in_sample_rate != cfg.sample_rate:
         x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
-    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if cfg.demean:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     batch = near_end.shape[0]
     model_len = x.shape[-1]
@@ -130,7 +139,7 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
-    return pcm_out(y)
+    return y if cfg.float_output else pcm_out(y)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -196,7 +205,7 @@ def deep_echo_stream_step(params, state, near_chunk, far_chunk,
         "net": net_state,
         "ola_tail": raw[:, emit_len:],
     }
-    return new_state, pcm_out(out)
+    return new_state, (out if cfg.float_output else pcm_out(out))
 
 
 def init_deep_echo(key, cfg: DeepEchoConfig = DeepEchoConfig()):

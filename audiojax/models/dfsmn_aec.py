@@ -43,7 +43,9 @@ class DfsmnAecConfig:
     hop: int = 320
     kaldi_nfft: int = 1024
     preemph: float = 0.97
-    echo_factor: float = 1.0
+    # "Matches the original DFSMN echo estimate scaling"
+    # (/root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1195, self.factor)
+    echo_factor: float = 1.15
     output_vad: bool = False
     sample_rate: int = 16000
     in_sample_rate: int = 16000
@@ -59,12 +61,18 @@ class DfsmnAecConfig:
 
 
 def _backend(cfg: DfsmnAecConfig):
+    # demean=False: unlike the standalone AEC exports, the cascade's
+    # _preprocess_audio_pair does NOT mean-center the pair
+    # (/root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1198-1216).
+    # float_output=True: the reference cascade chains the temp waveform between
+    # stages in float; an int16 round-trip would bury a small echo-cancelled
+    # residual under ~-17 dB quantization noise.
     if cfg.backend == "sdaec":
-        return SdaecConfig(), init_sdaec, sdaec_forward
+        return SdaecConfig(demean=False, float_output=True), init_sdaec, sdaec_forward
     if cfg.backend == "deep_echo":
-        return DeepEchoConfig(), init_deep_echo, deep_echo_forward
+        return DeepEchoConfig(demean=False, float_output=True), init_deep_echo, deep_echo_forward
     if cfg.backend == "nkf":
-        bcfg = NkfConfig()
+        bcfg = NkfConfig(demean=False, float_output=True)
         return bcfg, init_nkf, lambda p, near, far, cfg=bcfg: nkf_forward(p, far, near, cfg)
     raise ValueError(f"unknown backend {cfg.backend!r}; expected one of {BACKENDS}")
 
@@ -72,10 +80,9 @@ def _backend(cfg: DfsmnAecConfig):
 def dfsmn_aec_forward(params, near_end, far_end, cfg: DfsmnAecConfig = DfsmnAecConfig()):
     """(near int16 (B,L), far int16 (B,L)) → aec int16 (B,L) [, vad (B,T)]."""
     bcfg, _, backend_fwd = _backend(cfg)
-    temp_i16 = backend_fwd(params["backend"], near_end, far_end, bcfg)
+    temp = backend_fwd(params["backend"], near_end, far_end, bcfg)  # float
 
     near = pcm_in(near_end)
-    temp = pcm_in(temp_i16)
     if cfg.in_sample_rate != cfg.sample_rate:
         tgt = near.shape[-1] * cfg.sample_rate // cfg.in_sample_rate
         near, temp = resample_linear(near, tgt), resample_linear(temp, tgt)
@@ -127,12 +134,12 @@ def _stream_backend(cfg: DfsmnAecConfig):
     if cfg.backend == "sdaec":
         from .sdaec import sdaec_stream_init, sdaec_stream_step
 
-        bcfg = SdaecConfig()
+        bcfg = SdaecConfig(float_output=True)
         return bcfg, sdaec_stream_init, sdaec_stream_step, bcfg.n_fft - bcfg.hop
     if cfg.backend == "deep_echo":
         from .deep_echo import deep_echo_stream_init, deep_echo_stream_step
 
-        bcfg = DeepEchoConfig()
+        bcfg = DeepEchoConfig(float_output=True)
         return bcfg, deep_echo_stream_init, deep_echo_stream_step, bcfg.n_fft - bcfg.hop
     raise ValueError(f"backend {cfg.backend!r} has no streaming path (sdaec/deep_echo do)")
 
@@ -147,7 +154,7 @@ def dfsmn_aec_stream_init(cfg: DfsmnAecConfig = DfsmnAecConfig(), batch: int = 1
     carry2 = cfg.frame_len - cfg.hop
     return {
         "backend": b_init(bcfg, batch),
-        "temp_fifo": jnp.zeros((batch, pad_to_hop), jnp.int16),
+        "temp_fifo": jnp.zeros((batch, pad_to_hop), jnp.float32),
         "near_fifo": jnp.zeros((batch, cfg.hop), jnp.int16),
         "near_tail": jnp.zeros((batch, carry2), jnp.float32),
         "temp_tail": jnp.zeros((batch, carry2), jnp.float32),
@@ -173,13 +180,12 @@ def dfsmn_aec_stream_step(params, state, near_chunk, far_chunk,
 
     # re-align: temp is 159 samples behind the input; buffer it (and near) so
     # both streams are delayed by exactly one stage-2 hop
-    temp_buf = jnp.concatenate([state["temp_fifo"], temp_raw], axis=-1)
+    temp_buf = jnp.concatenate([state["temp_fifo"], temp_raw], axis=-1)  # float
     near_buf = jnp.concatenate([state["near_fifo"], near_chunk], axis=-1)
-    temp_i16, temp_fifo = temp_buf[:, :m], temp_buf[:, m:]
+    temp, temp_fifo = temp_buf[:, :m], temp_buf[:, m:]
     near_i16, near_fifo = near_buf[:, :m], near_buf[:, m:]
 
     near = pcm_in(near_i16)
-    temp = pcm_in(temp_i16)
     buf_n = jnp.concatenate([state["near_tail"], near], axis=-1)
     buf_t = jnp.concatenate([state["temp_tail"], temp], axis=-1)
     echo = buf_n - cfg.echo_factor * buf_t

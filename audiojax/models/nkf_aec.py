@@ -45,6 +45,14 @@ class NkfConfig:
     in_sample_rate: int = 16000
     out_sample_rate: int = 16000
     fold_window: int = 0
+    # The standalone exports mean-center the pair (Export_NKF_AEC.py:269); the
+    # DFSMN_AEC cascade does NOT (_preprocess_audio_pair,
+    # /root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1198-1216) — the cascade
+    # builds backends with demean=False.
+    demean: bool = True
+    # The cascade chains the temp waveform in float (see sdaec.py:
+    # SdaecConfig.float_output); cascade backends set float_output=True.
+    float_output: bool = False
     center: bool = True  # False = snip-edges framing (streaming-equivalent)
 
     @property
@@ -151,7 +159,8 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
     x = pcm_in(pair)
     if cfg.in_sample_rate != cfg.sample_rate:
         x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
-    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if cfg.demean:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     batch = far_end.shape[0]
     model_len = x.shape[-1]
@@ -179,7 +188,7 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
-    return pcm_out(y)
+    return y if cfg.float_output else pcm_out(y)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -245,7 +254,7 @@ def nkf_stream_step(params, state, near_chunk, far_chunk, cfg: NkfConfig = NkfCo
         "kalman": kalman,
         "ola_tail": raw[:, emit_len:],
     }
-    return new_state, pcm_out(out)
+    return new_state, (out if cfg.float_output else pcm_out(out))
 
 
 def init_nkf(key, cfg: NkfConfig = NkfConfig()):

@@ -40,6 +40,16 @@ class SdaecConfig:
     out_sample_rate: int = 16000
     fold_window: int = 0
     center: bool = True  # False = snip-edges framing (streaming-equivalent)
+    # The standalone exports mean-center the pair (Export_SDAEC.py:399); the
+    # DFSMN_AEC cascade does NOT (_preprocess_audio_pair,
+    # /root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1198-1216) — the cascade
+    # builds backends with demean=False.
+    demean: bool = True
+    # The cascade passes the echo-cancelled temp waveform between stages in
+    # float (Export_DFSMN_AEC.py:1239-1263 keeps ``temp`` as the ISTFT's float
+    # output); int16-quantizing a small AEC residual costs ~-17 dB, so the
+    # cascade builds backends with float_output=True.
+    float_output: bool = False
 
     @property
     def stft(self) -> StftConfig:
@@ -99,7 +109,8 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     x = pcm_in(pair)
     if cfg.in_sample_rate != cfg.sample_rate:
         x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
-    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    if cfg.demean:
+        x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     batch = near_end.shape[0]
     model_len = x.shape[-1]
@@ -134,7 +145,7 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
-    return pcm_out(y)
+    return y if cfg.float_output else pcm_out(y)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -208,7 +219,7 @@ def sdaec_stream_step(params, state, near_chunk, far_chunk, cfg: SdaecConfig = S
         "net": net_state,
         "ola_tail": raw[:, emit_len:],
     }
-    return new_state, pcm_out(out)
+    return new_state, (out if cfg.float_output else pcm_out(out))
 
 
 def init_sdaec(key, cfg: SdaecConfig = SdaecConfig()):

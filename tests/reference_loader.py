@@ -194,9 +194,13 @@ def _install_stubs() -> None:
 
 def _assignments_only(body: list) -> bool:
     """True if a statement list contains only (possibly nested-if) assignments
-    — i.e. executing it can at worst compute a constant, never export/write."""
+    and class/function DEFINITIONS — i.e. executing it can at worst compute a
+    constant or define code, never export/write.  Definitions matter for
+    backend-switched exports (DFSMN_AEC embeds each light-AEC NET class under
+    ``if LIGHT_AEC_MODEL == ...:``)."""
     for stmt in body:
-        if isinstance(stmt, (ast.Assign, ast.AnnAssign, ast.AugAssign, ast.Pass)):
+        if isinstance(stmt, (ast.Assign, ast.AnnAssign, ast.AugAssign, ast.Pass,
+                             ast.ClassDef, ast.FunctionDef, ast.Raise)):
             continue
         if isinstance(stmt, ast.If):
             if not (_assignments_only(stmt.body) and _assignments_only(stmt.orelse)):

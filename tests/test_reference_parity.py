@@ -1685,3 +1685,145 @@ def test_zipenhancer_e2e_parity_vs_reference_torch():
     snr2 = snr_db(ref.reshape(1, -1), out2)
     print(f"ZipEnhancer net+ISTFT SNR on shared features: {snr2:.1f} dB")
     assert snr2 >= SNR_GATE_DB
+
+
+# ---------------------------------------------------------------------------
+# DFSMN-AEC cascade (+VAD)  (/root/reference/DFSMN_AEC/Export_DFSMN_AEC.py)
+# Two-stage composite: the SDAEC light-AEC backend (selected by the export's
+# default project path, :83) produces a temporary echo-cancelled waveform;
+# Kaldi fbanks over [near, temp, echo = near − 1.15·temp] feed the ModelScope
+# DFSMN mask net (+VAD head); the mask gates the temp waveform's 640/320
+# STFT.  The SDAEC NET/AlphaPredictor classes are embedded in the export
+# itself (:177-439); the DFSMN net is a weight container matching the
+# ModelScope speech_dfsmn_aec_psm_16k layout the cascade reads (:1090-1125).
+# ---------------------------------------------------------------------------
+
+
+def test_dfsmn_aec_cascade_e2e_parity_vs_reference_torch():
+    import types
+
+    from torch import nn
+
+    stft_cls = load_stft_process("DFSMN_AEC")
+    ns = load_reference("DFSMN_AEC/Export_DFSMN_AEC.py",
+                        preset={"STFT_Process": stft_cls})
+    assert ns["LIGHT_AEC_MODEL"] == "SDAEC"  # default project path selects SDAEC
+
+    L = 32000  # unfolded single-clip geometry (fold equality is model-covered)
+    backend_frames = ns["stft_frame_count"](L, ns["NFFT_B"], ns["HOP_LENGTH_B"], True)
+    mask_frames = ns["stft_frame_count"](L, ns["NFFT_A2"], ns["HOP_LENGTH_A"], False)
+
+    # ---- SDAEC backend (embedded classes) ----
+    istft_b = stft_cls(
+        model_type="istft_B_packed", n_fft=ns["NFFT_B"], hop_len=ns["HOP_LENGTH_B"],
+        win_length=ns["WINDOW_LENGTH_B"], max_frames=backend_frames,
+        window_type=ns["WINDOW_TYPE_B"], center_pad=True, pad_mode="constant",
+        static_frames=backend_frames, output_length=L, output_scale=1.0).eval()
+    stft_b = stft_cls(
+        model_type="stft_B_packed", n_fft=ns["NFFT_B"], hop_len=ns["HOP_LENGTH_B"],
+        win_length=ns["WINDOW_LENGTH_B"], max_frames=0,
+        window_type=ns["WINDOW_TYPE_B"], center_pad=True, pad_mode="constant",
+        input_scale=1.0).eval()
+    torch.manual_seed(70)
+    iccrn = ns["NET"](max_frames=backend_frames, custom_istft=istft_b,
+                      static_batch=1, static_frames=backend_frames)
+    randomize_(iccrn, 70)
+    alpha = ns["AlphaPredictor"](ns["ALPHA_K"])
+    randomize_(alpha, 71)
+    sd = {k: v.clone() for k, v in iccrn.state_dict().items()}
+    sd.update({k: v.clone() for k, v in alpha.state_dict().items()})
+    for module in iccrn.modules():
+        if isinstance(module, ns["LayerNorm"]):
+            module.fuse_var_scale_()
+        elif isinstance(module, torch.nn.LSTM):
+            module.flatten_parameters()
+    iccrn = iccrn.float().eval().fuse_io_projections_()
+    alpha = alpha.float().eval()
+
+    # ---- DFSMN mask net weight container (ModelScope layout) ----
+    HID, NMELS, DEPTH, LORD = 256, ns["N_MELS"], 9, 20
+    BINS = ns["NFFT_A2"] // 2 + 1
+
+    class Affine(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.linear = nn.Linear(cin, cout)
+
+        def forward(self, x):
+            return self.linear(x)
+
+    torch.manual_seed(72)
+    dfsmn = nn.Module()
+    dfsmn.linear1 = Affine(3 * NMELS, HID)
+    dfsmn.relu = nn.ReLU()
+    dfsmn.sig = nn.Sigmoid()
+    deep = []
+    for _ in range(DEPTH):
+        uf = nn.Module()
+        uf.linear = nn.Linear(HID, HID)
+        uf.project = nn.Linear(HID, HID, bias=False)
+        uf.conv1 = nn.Conv2d(HID, HID, (LORD, 1), groups=HID, bias=False)
+        uf.norm = nn.Identity()
+        uf.act = nn.ReLU()
+        uf.output_dim = HID
+        uf.lorder = LORD
+        uf.padding_left = LORD - 1
+        uf.skip_connect = True
+        deep.append(uf)
+    dfsmn.deepfsmn = nn.ModuleList(deep)
+    dfsmn.linear2 = Affine(HID, BINS)
+    dfsmn.linear3 = Affine(HID, 1)
+    randomize_(dfsmn, 72)
+    with torch.no_grad():  # keep the 9-deep causal memory recursion sane
+        for uf in dfsmn.deepfsmn:
+            uf.project.weight.mul_(0.2)
+            uf.conv1.weight.mul_(0.2)
+    sd.update({k: v.clone() for k, v in dfsmn.state_dict().items()})
+
+    g = torch.Generator().manual_seed(73)
+    shift = torch.empty(3 * NMELS).uniform_(-1.0, 1.0, generator=g)
+    scale = torch.empty(3 * NMELS).uniform_(0.5, 1.5, generator=g)
+    pipeline_stub = types.SimpleNamespace(
+        model=dfsmn.eval().float(),
+        preprocessor=types.SimpleNamespace(
+            feature=types.SimpleNamespace(shift=shift, scale=scale)))
+
+    # ---- the cascade wrapper, static unfolded geometry ----
+    stft_a2 = stft_cls(
+        model_type="stft_B_packed", n_fft=ns["NFFT_A2"], hop_len=ns["HOP_LENGTH_A"],
+        win_length=ns["WINDOW_LENGTH_A"], max_frames=0, window_type=ns["WINDOW_TYPE"],
+        center_pad=False, pad_mode="constant", input_scale=1.0).eval()
+    istft_a2 = stft_cls(
+        model_type="istft_B_packed", n_fft=ns["NFFT_A2"], hop_len=ns["HOP_LENGTH_A"],
+        win_length=ns["WINDOW_LENGTH_A"], max_frames=mask_frames,
+        window_type=ns["WINDOW_TYPE"], center_pad=False, pad_mode="constant",
+        static_frames=mask_frames, output_length=L, output_scale=1.0).eval()
+    with torch.inference_mode():
+        wrapper = ns["DFSMN_AEC"](
+            pipeline_stub, light_aec=iccrn, light_aec_type="SDAEC",
+            custom_stft_A2=stft_a2, custom_istft_A2=istft_a2, custom_stft_B=stft_b,
+            nfft_A=ns["NFFT_A"], win_length_A=ns["WINDOW_LENGTH_A"],
+            hop_length_A=ns["HOP_LENGTH_A"], pre_emphasis=ns["PRE_EMPHASIZE"],
+            in_sample_rate=16000, out_sample_rate=16000, n_mels=NMELS,
+            use_batch_fold=False, fold_window=ns["FOLD_WINDOW_LENGTH"],
+            alpha_predictor=alpha, k=ns["ALPHA_K"], static_batch=1,
+            static_audio_length=L, backend_frames=backend_frames,
+            mask_frames=mask_frames, output_vad_result=True).eval()
+
+    near = _pcm(L, seed=74)
+    far = _pcm(L, seed=75)
+    with torch.inference_mode():
+        ref, vad_ref = wrapper(torch.from_numpy(near), torch.from_numpy(far))
+
+    from audiojax.importers import import_checkpoint
+    from audiojax.models.dfsmn_aec import DfsmnAecConfig, dfsmn_aec_forward
+
+    cfg = DfsmnAecConfig(backend="sdaec", output_vad=True)
+    params = import_checkpoint("dfsmn_aec", sd, strict=False,
+                               cmvn=(shift.numpy(), scale.numpy()))
+    out, vad = dfsmn_aec_forward(params, jnp.asarray(near[0]), jnp.asarray(far[0]), cfg)
+    snr = snr_db(ref.numpy().ravel(), np.asarray(out).ravel())
+    vad_snr = snr_db(vad_ref.numpy().ravel(), np.asarray(vad).ravel())
+    print(f"DFSMN-AEC cascade e2e SNR vs reference torch: {snr:.1f} dB, VAD {vad_snr:.1f} dB")
+    assert snr >= SNR_GATE_DB
+    assert vad_snr >= SNR_GATE_DB
