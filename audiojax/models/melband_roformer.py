@@ -156,7 +156,7 @@ def melband_net(p, spec, cfg: MelBandConfig):
     # then GLU.
     h = x
     for lay in p["me_hidden"]:
-        h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, lay["w"],
+        h = jnp.tanh(jnp.einsum("nbtd,ndk->nbtk", h, core.as_weight(lay["w"]),
                                 preferred_element_type=jnp.float32)
                      + lay["b"][:, None, None]).astype(dtype)
     masks = []

@@ -24,6 +24,9 @@ from jax import lax
 
 __all__ = [
     "dense",
+    "dyn_int8_matmul",
+    "is_q8",
+    "as_weight",
     "prelu",
     "conv1d",
     "conv2d",
@@ -39,9 +42,47 @@ __all__ = [
 ]
 
 
+def is_q8(w) -> bool:
+    """True for a ``{'q8', 'scale'}`` quantized-weight leaf
+    (audiojax.utils.quantize)."""
+    return isinstance(w, dict) and "q8" in w
+
+
+def as_weight(w):
+    """Materialize a quantized leaf back to float INSIDE jit (XLA fuses the
+    int8→float convert into the consuming matmul/conv); floats pass through."""
+    if is_q8(w):
+        return w["q8"].astype(w["scale"].dtype) * w["scale"]
+    return w
+
+
+def dyn_int8_matmul(x, q8, scale):
+    """Dynamic-activation int8 matmul: the TPU analog of ORT's DYNAMIC_Q8
+    (activation scales computed at run time, weights pre-quantized —
+    /root/reference/Optimize_ONNX_Common.py:432-460).
+
+    Per-row symmetric activation quantization → int8×int8 ``dot_general`` with
+    int32 accumulation (native MXU int8 path, 2× bf16 throughput on v5e) →
+    float rescale by (row scale × per-column weight scale).
+
+    x: float (..., in); q8: int8 (in, out); scale: float (1, out)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, jnp.finfo(jnp.float32).tiny) * (1.0 / 127.0)
+    xq = jnp.round(x / xs).astype(jnp.int8)
+    acc = lax.dot_general(xq, q8, (((x.ndim - 1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * xs.astype(jnp.float32)
+            * scale.reshape((1,) * (acc.ndim - 1) + (-1,)))
+
+
 def dense(p, x):
-    """x: (..., in) @ w (in, out) + b."""
-    y = jnp.matmul(x, p["w"], preferred_element_type=x.dtype)
+    """x: (..., in) @ w (in, out) + b.  A quantized ``w`` ({'q8','scale'},
+    served under the ``q8dyn`` plan) takes the dynamic int8 MXU path."""
+    w = p["w"]
+    if is_q8(w):
+        y = dyn_int8_matmul(x, w["q8"], w["scale"]).astype(x.dtype)
+    else:
+        y = jnp.matmul(x, w, preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -126,7 +167,7 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
 
 def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
     """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
-    w = p["w"]
+    w = as_weight(p["w"])  # q8 leaves: fused dequant (convs stay float)
     taps = w.shape[0] * w.shape[1]
     if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
@@ -153,7 +194,7 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
 
 def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
     """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout)."""
-    w = p["w"]
+    w = as_weight(p["w"])  # q8 leaves: fused dequant (convs stay float)
     taps = w.shape[0] * w.shape[1]
     if (groups > 1 and w.shape[2] == 1 and w.shape[3] == groups == x.shape[-1]
             and tuple(stride) == (1, 1) and taps <= _DW_UNROLL_MAX_TAPS
@@ -185,12 +226,13 @@ def conv1d_transpose(p, x, *, stride: int = 1, padding=0, dilation: int = 1, gro
     at import time, so the traced graph contains no kernel munging).
     out_len = (T-1)*stride - 2*padding + dilation*(k-1) + 1.
     """
-    k = p["w"].shape[0]
+    w = as_weight(p["w"])
+    k = w.shape[0]
     pad = padding if isinstance(padding, int) else padding[0]
     eff = dilation * (k - 1)
     y = lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(1,),
         padding=[(eff - pad, eff - pad + output_padding)],
         lhs_dilation=(stride,),
@@ -209,13 +251,14 @@ def conv2d_transpose(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), gr
     ``w``: equivalent forward kernel, HWIO (kh, kw, Cin/groups, Cout) — see
     :func:`conv1d_transpose`.
     """
-    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    w = as_weight(p["w"])
+    kh, kw = w.shape[0], w.shape[1]
     ph = padding[0] if isinstance(padding[0], int) else padding[0][0]
     pw = padding[1] if isinstance(padding[1], int) else padding[1][0]
     effh, effw = dilation[0] * (kh - 1), dilation[1] * (kw - 1)
     y = lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(1, 1),
         padding=[(effh - ph, effh - ph), (effw - pw, effw - pw)],
         lhs_dilation=tuple(stride),

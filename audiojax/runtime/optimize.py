@@ -35,7 +35,7 @@ from pathlib import Path
 
 __all__ = ["Plan", "PLANS", "plan_for", "apply_plan", "optimize_artifact", "wrap_forward"]
 
-_QUANT_MODES = ("none", "q8f32")
+_QUANT_MODES = ("none", "q8f32", "q8dyn")
 _DTYPES = ("f32", "bf16")
 
 
@@ -67,6 +67,11 @@ class Plan:
 PLANS: dict[str, Plan] = {
     "f32": Plan("f32", notes="identity plan: float32 weights (reference CPU default)"),
     "q8f32": Plan("q8f32", quantize="q8f32", notes="weight-only int8, f32 activations"),
+    "q8dyn": Plan(
+        "q8dyn", quantize="q8dyn",
+        notes="dynamic-activation int8 matmuls on the MXU (true DYNAMIC_Q8 analog); "
+        "dense weights stay int8 at run time, convs dequantize fused",
+    ),
     "bf16": Plan("bf16", compute_dtype="bf16", notes="weight-only bf16 storage"),
     "melband_roformer": Plan(
         "melband_roformer", quantize="q8f32",
@@ -97,13 +102,13 @@ def apply_plan(params, plan: Plan):
     from ..utils.quantize import quantize_tree, quantized_bytes
 
     audit = {"plan": dataclasses.asdict(plan)}
-    if plan.quantize == "q8f32":
+    if plan.quantize in ("q8f32", "q8dyn"):  # identical artifact; serving differs
         out = quantize_tree(params, min_size=plan.q8_min_size)
         qb, fb = quantized_bytes(out)
         n_q = len([1 for p, _ in _leaf_paths(out) if p.endswith("/q8")])
         if n_q == 0:
             raise ValueError(
-                f"plan {plan.name!r}: q8f32 quantized ZERO leaves "
+                f"plan {plan.name!r}: {plan.quantize} quantized ZERO leaves "
                 f"(min_size={plan.q8_min_size}) — contract drift, aborting"
             )
         audit.update(leaves_quantized=n_q, bytes_after=qb, bytes_before=fb,
@@ -151,6 +156,10 @@ def wrap_forward(fn, manifest):
         from ..utils.quantize import dequantize_tree
 
         return lambda params, *a: fn(dequantize_tree(params), *a)
+    if opt.get("quantize") == "q8dyn":
+        # no wrapping: nn.core consumes {'q8','scale'} leaves natively —
+        # dense takes the dynamic int8 MXU path, convs dequantize fused
+        return fn
     if opt.get("compute_dtype") == "bf16":
         import jax
         import jax.numpy as jnp

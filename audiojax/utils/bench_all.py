@@ -49,7 +49,8 @@ def _clip(shape, rate, seed=0):
     return np.broadcast_to(mono, shape).copy()
 
 
-def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> dict:
+def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
+                quant: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +69,26 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
     inputs = [jnp.asarray(_clip(shape, rc["IN_SAMPLE_RATE"], seed=i)) for i in range(k)]
 
     params = spec.init_params(jax.random.PRNGKey(0), cfg)
-    fn = jax.jit(spec.make_forward(cfg))
+    fwd = spec.make_forward(cfg)
+    snr_q8 = None
+    if quant:  # quantized-parameter serving path (q8f32 fused-dequant / q8dyn int8 MXU)
+        from ..runtime.optimize import PLANS, apply_plan
+        from ..utils.quantize import dequantize_tree
+
+        ref_out = jax.jit(fwd)(params, *inputs)
+        ref0 = np.asarray(ref_out[0] if isinstance(ref_out, (tuple, list)) else ref_out,
+                          np.float64)
+        params, _ = apply_plan(params, PLANS[quant])
+        if quant == "q8f32":
+            inner = fwd
+            fwd = lambda p, *a: inner(dequantize_tree(p), *a)  # noqa: E731
+        fn = jax.jit(fwd)
+        q_out = fn(params, *inputs)
+        q0 = np.asarray(q_out[0] if isinstance(q_out, (tuple, list)) else q_out, np.float64)
+        err = np.sum((ref0 - q0) ** 2)
+        snr_q8 = round(10.0 * np.log10(np.sum(ref0**2) / max(err, 1e-12)), 1)
+    else:
+        fn = jax.jit(fwd)
 
     # XLA's own cost model for the compiled executable — the analytic FLOP
     # count the MFU column is derived from (no hand-counted estimates).
@@ -111,7 +131,8 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
     rtf = elapsed / duration
     base = BASELINES.get(name)
     row = {
-        "model": name + (f"+{compute_dtype}" if compute_dtype else ""),
+        "model": name + (f"+{compute_dtype}" if compute_dtype else "")
+        + (f"+{quant}" if quant else ""),
         "rtf": round(rtf, 6),
         "latency_ms": round(elapsed * 1e3, 3),
         "chunk_s": round(duration, 3),
@@ -123,6 +144,8 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None) -> d
         row["gflops"] = round(flops / 1e9, 2)
         row["tflops_per_s"] = round(achieved / 1e12, 3)
         row["mfu_pct"] = round(100.0 * achieved / _peak_flops(), 2)
+    if snr_q8 is not None:
+        row["snr_vs_f32_db"] = snr_q8
     return row
 
 
@@ -150,6 +173,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--models", default=None, help="comma-separated subset")
     ap.add_argument("--no-bf16", action="store_true", help="skip bf16-compute variants")
+    ap.add_argument("--quant", default=None,
+                    help="comma-separated quant plans (q8f32,q8dyn) benched for models "
+                    "whose recommended plan quantizes (reference: Mel-Band only)")
     ap.add_argument("--json-out", default=None,
                     help="also write rows as JSON lines (input to utils.readme_tables)")
     args = ap.parse_args(argv)
@@ -176,6 +202,17 @@ def main(argv=None):
                 row = {"model": f"{name}+bfloat16", "error": f"{type(e).__name__}: {e}"}
             print(json.dumps(row), flush=True)
             rows.append(row)
+        if args.quant:
+            from ..runtime.optimize import plan_for
+
+            if plan_for(name).quantize != "none":
+                for q in args.quant.split(","):
+                    try:
+                        row = bench_model(name, iters=args.iters, quant=q)
+                    except Exception as e:
+                        row = {"model": f"{name}+{q}", "error": f"{type(e).__name__}: {e}"}
+                    print(json.dumps(row), flush=True)
+                    rows.append(row)
 
     if args.json_out:
         with open(args.json_out, "w") as fh:

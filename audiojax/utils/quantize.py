@@ -28,12 +28,19 @@ def _is_quant_leaf(x) -> bool:
 
 
 def quantize_tree(params, min_size: int = _MIN_SIZE):
-    """float32 leaves (≥ min_size elements, ≥ 2 dims) → {'q8', 'scale'} dicts.
+    """float32 WEIGHT leaves (≥ min_size elements, ≥ 2 dims, key ≠ 'b') →
+    {'q8', 'scale'} dicts.
 
     Symmetric per-output-column scales (last axis), matching how dynamic ORT
-    quantization scales MatMul initializers."""
+    quantization scales MatMul initializers.  Bias leaves ('b') are never
+    quantized, whatever their shape — ORT quantizes initializers of MatMuls
+    only, and nn.core consumes biases as raw arrays."""
+    import jax.tree_util as jtu
 
-    def q(leaf):
+    def q(path, leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "b":
+            return leaf
         if not hasattr(leaf, "shape") or leaf.ndim < 2 or leaf.size < min_size:
             return leaf
         if leaf.dtype not in (jnp.float32, np.float32):
@@ -44,7 +51,7 @@ def quantize_tree(params, min_size: int = _MIN_SIZE):
         q8 = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
         return {"q8": jnp.asarray(q8), "scale": jnp.asarray(scale)}
 
-    return jax.tree.map(q, params, is_leaf=_is_quant_leaf)
+    return jtu.tree_map_with_path(q, params, is_leaf=_is_quant_leaf)
 
 
 def dequantize_tree(params):

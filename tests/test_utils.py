@@ -70,6 +70,50 @@ def test_quantized_melband_runs():
     assert snr > 20, snr
 
 
+def test_dyn_int8_dense_matches_manual():
+    """core.dense on a {'q8','scale'} weight must equal the manual dynamic
+    int8 pipeline (per-row activation scales, int8 dot, rescale)."""
+    import jax, jax.numpy as jnp
+    from audiojax.nn import core
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((96, 160)).astype(np.float32)
+    x = rng.standard_normal((2, 11, 96)).astype(np.float32)
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    scale = (amax / 127.0).astype(np.float32)
+    q8 = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    p = {"w": {"q8": jnp.asarray(q8), "scale": jnp.asarray(scale)}}
+    y = np.asarray(jax.jit(core.dense)(p, jnp.asarray(x)), np.float64)
+
+    xs = np.maximum(np.abs(x).max(axis=-1, keepdims=True), np.finfo(np.float32).tiny) / 127.0
+    xq = np.round(x / xs).astype(np.int8)
+    manual = (xq.astype(np.int32) @ q8.astype(np.int32)).astype(np.float64) * xs * scale
+    np.testing.assert_allclose(y, manual, rtol=1e-5, atol=1e-5)
+
+    ref = (x @ w).astype(np.float64)
+    snr = 10 * np.log10(np.sum(ref**2) / np.sum((ref - y) ** 2))
+    assert snr > 30, snr  # 8-bit weights + 8-bit dynamic activations
+
+
+def test_q8dyn_melband_runs():
+    """Mel-Band served directly on quantized params (q8dyn plan): core.dense
+    takes the int8 MXU path, convs/einsums dequantize fused — output must
+    track the float model."""
+    import jax, jax.numpy as jnp
+    from audiojax.models.melband_roformer import MelBandConfig, init_melband, melband_forward
+    from audiojax.utils.quantize import quantize_tree
+
+    cfg = MelBandConfig(n_fft=256, hop=64, num_bands=8, dim=32, depth=1, heads=2,
+                        dim_head=16, mlp_expansion=2)
+    params = init_melband(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params)
+    audio = jnp.asarray((np.random.default_rng(1).standard_normal(4410) * 8000).astype(np.int16)[None])
+    ref = np.asarray(melband_forward(params, audio, cfg)).astype(np.float64)
+    out = np.asarray(melband_forward(qparams, audio, cfg)).astype(np.float64)
+    snr = 10 * np.log10(np.sum(ref**2) / max(np.sum((ref - out) ** 2), 1e-9))
+    assert snr > 15, snr
+
+
 def test_inspect_model_report():
     from audiojax.utils.inspect_model import inspect_model
 
