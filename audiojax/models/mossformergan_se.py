@@ -27,7 +27,7 @@ from jax import lax
 from ..dsp import StftConfig
 from ..dsp.pcm import fold_windows, resample_linear, unfold_windows
 from ..nn import core
-from ..nn.mossformer import rotary_tables
+from ..nn.mossformer import rope_mm_tables
 from .zipenhancer import instance_norm_tf
 
 
@@ -112,17 +112,32 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
                             groups=huv.shape[-1])
     hidden, qk = huv[..., : cfg.mf_hidden], huv[..., cfg.mf_hidden :]
 
-    scaled = qk[..., None, :] * p["gamma"] + p["beta"]  # (N, Q, 4, qk)
-    cos, sin = (a.astype(x.dtype) for a in rotary_tables(q_len, cfg.mf_rot))
-    mid, rest = scaled[..., : cfg.mf_rot], scaled[..., cfg.mf_rot :]
-    halfr = jnp.stack([-mid[..., 1::2], mid[..., 0::2]], axis=-1).reshape(mid.shape)
-    scaled = jnp.concatenate([mid * cos[:, None] + halfr * sin[:, None], rest], axis=-1)
-    quad_q, lin_q, quad_k, lin_k = [scaled[..., i, :] for i in range(4)]
+    # OffsetScale + RoPE, rotate-half as a matmul against a constant signed
+    # pair-swap matrix (exact; lane-interleave shuffles are ~10× slower on
+    # TPU).  diag(γᵢ)·swap and βᵢ·swap are folded so each projection is one
+    # small MXU matmul plus fused elementwise ops — the (N, Q, 4, qk) f32
+    # intermediate never materializes.
+    cos_f, sin_f, swap = (a.astype(x.dtype)
+                          for a in rope_mm_tables(q_len, cfg.mf_rot, cfg.mf_qk))
+    gamma_swap = p["gamma"][:, :, None] * swap  # (4, qk, qk) = diag(γᵢ) @ swap
+    beta_swap = p["beta"] @ swap  # (4, qk)
+    projs = []
+    for i in range(4):
+        direct = qk * p["gamma"][i] + p["beta"][i]
+        swapped = qk @ gamma_swap[i] + beta_swap[i]
+        projs.append(direct * cos_f + swapped * sin_f)
+    quad_q, lin_q, quad_k, lin_k = projs
 
-    # local quadratic attention over the sequence axis
+    # local quadratic attention over the sequence axis; the global linear
+    # attention lin_q (lin_kᵀ hidden)/Q is re-associated as
+    # ((lin_q lin_kᵀ)/Q) hidden so both share ONE value matmul and no
+    # transposed (contract-over-sublanes) batched matmul remains.
     sim = jnp.einsum("nik,njk->nij", quad_q, quad_k, preferred_element_type=jnp.float32) / q_len
     attn = jnp.square(jax.nn.relu(sim))
-    att_hidden = jnp.einsum("nij,njv->niv", attn, hidden, preferred_element_type=jnp.float32)
+    sim_lin = jnp.einsum("nik,njk->nij", lin_q, lin_k,
+                         preferred_element_type=jnp.float32) / q_len
+    att_hidden = jnp.einsum("nij,njv->niv", attn + sim_lin, hidden,
+                            preferred_element_type=jnp.float32)
 
     # cross-token attention over the fold axis, diagonal masked
     qq = quad_q.reshape(b, bt, q_len, cfg.mf_qk).swapaxes(1, 2)  # (b, Q, BT, qk)
@@ -134,11 +149,6 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
     attn_c = jnp.where(eye, 0.0, attn_c)
     cross = jnp.einsum("bqij,bqjv->bqiv", attn_c, hc, preferred_element_type=jnp.float32)
     att_hidden = att_hidden + cross.swapaxes(1, 2).reshape(n, q_len, cfg.mf_hidden)
-
-    # global linear attention
-    lin_kh = jnp.einsum("njk,njv->nkv", lin_k, hidden, preferred_element_type=jnp.float32) / q_len
-    att_hidden = att_hidden + jnp.einsum("nik,nkv->niv", lin_q, lin_kh,
-                                         preferred_element_type=jnp.float32)
     att_hidden = att_hidden.astype(hidden.dtype)  # back to compute dtype
 
     att_v, att_u = att_hidden[..., : cfg.mf_vdim], att_hidden[..., cfg.mf_vdim :]

@@ -177,6 +177,18 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
             and x.shape[-1] == w.shape[1] * groups
             and stride == 1 and taps <= 2 * _DW_UNROLL_MAX_TAPS):
         y = _grouped_single_out_conv1d(w, x, _norm_pad(padding), dilation)
+    elif (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
+            and stride == 1 and dilation == 1 and x.ndim == 3
+            and x.shape[-1] % 128 == 0 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
+            and x.shape[1] + sum(_norm_pad(padding)) <= 4096
+            and jax.default_backend() == "tpu"):
+        # Large true-depthwise maps: Pallas read-once kernel.  Standalone it
+        # only ties lax.conv, but in-context it pins the (row, lane) layout
+        # and kills XLA's relayout churn around the conv — measured 74 ms off
+        # the MossFormerGAN forward (253→143 ms with the GAU rewrites, v5e).
+        from ..ops.dwconv_pallas import dwconv1d_pallas
+
+        y = dwconv1d_pallas(x, w[:, 0, :], pads=_norm_pad(padding))
     else:
         y = lax.conv_general_dilated(
             x,

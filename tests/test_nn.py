@@ -244,3 +244,16 @@ def test_erb_partition_and_shapes():
     e = erb_expand(c, 65, 64, 512)
     assert e.shape == x.shape
     np.testing.assert_allclose(np.asarray(e[..., :65, :]), np.asarray(x[..., :65, :]), atol=1e-6)
+
+
+def test_rope_mm_tables_match_apply_rotary():
+    from audiojax.nn.mossformer import apply_rotary, rope_mm_tables, rotary_tables
+
+    rng = np.random.default_rng(3)
+    t, dim, rot = 101, 128, 32
+    x = jnp.asarray(rng.standard_normal((5, t, dim)).astype(np.float32))
+    cos, sin = rotary_tables(t, rot)
+    want = apply_rotary(x, cos, sin, rot)
+    cos_f, sin_f, swap = rope_mm_tables(t, rot, dim)
+    got = x * cos_f + (x @ swap) * sin_f
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -85,3 +85,37 @@ def test_pallas_quad_attention_matches_jnp(n, s, k, v, mask):
     out = np.asarray(quad_attention_pallas(q, kk, vv, scale=1.0 / s, mask_diag=mask,
                                            block_rows=4, interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-4 * max(np.abs(ref).max(), 1.0))
+
+
+@pytest.mark.parametrize("b,t,c,k,pads,dtype", [
+    (9, 101, 256, 31, (15, 15), "float32"),
+    (4, 241, 128, 39, (19, 19), "float32"),
+    (3, 50, 128, 7, (0, 0), "bfloat16"),
+    (5, 33, 384, 20, (19, 0), "float32"),
+])
+def test_pallas_dwconv1d_matches_jnp(b, t, c, k, pads, dtype):
+    from audiojax.ops.dwconv_pallas import dwconv1d_jnp, dwconv1d_pallas
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32)).astype(dtype)
+    ref = np.asarray(dwconv1d_jnp(x, w, pads=pads), np.float32)
+    out = np.asarray(dwconv1d_pallas(x, w, pads=pads, block_rows=4, interpret=True),
+                     np.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-2 if dtype == "bfloat16" else 1e-4)
+
+
+def test_pallas_dwconv1d_matches_core_conv1d():
+    """The core.conv1d contract (w (k, 1, C), 'same' pad) routes through the
+    kernel unchanged: same outputs as the lax path."""
+    from audiojax.nn import core
+    from audiojax.ops.dwconv_pallas import dwconv1d_jnp
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 40, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((9, 1, 128)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((128,)).astype(np.float32))
+    want = np.asarray(core.conv1d({"w": w, "b": b}, x, padding=4, groups=128))
+    got = np.asarray(dwconv1d_jnp(x, w[:, 0, :], pads=(4, 4)) + b)
+    np.testing.assert_allclose(got, want, atol=1e-4)
