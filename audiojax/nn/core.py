@@ -180,12 +180,16 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
     elif (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and dilation == 1 and x.ndim == 3
             and x.shape[-1] % 128 == 0 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
-            and x.shape[1] + sum(_norm_pad(padding)) <= 4096
+            and x.shape[1] + sum(_norm_pad(padding)) <= 512
             and jax.default_backend() == "tpu"):
-        # Large true-depthwise maps: Pallas read-once kernel.  Standalone it
-        # only ties lax.conv, but in-context it pins the (row, lane) layout
-        # and kills XLA's relayout churn around the conv — measured 74 ms off
-        # the MossFormerGAN forward (253→143 ms with the GAU rewrites, v5e).
+        # Large true-depthwise maps with SHORT time axes (many batch rows per
+        # VMEM block): Pallas read-once kernel.  Standalone it only ties
+        # lax.conv, but in-context it pins the (row, lane) layout and kills
+        # XLA's relayout churn around the conv — measured 74 ms off the
+        # MossFormerGAN forward (253→143 ms with the GAU rewrites, v5e).
+        # Long time axes (MossFormer2-SS T≈3000) degrade to one row per block
+        # and lose 2.5× to lax — hence the T ≤ 512 gate (measured crossover
+        # is between 271 and 3000; GAN/FSMN shapes all sit ≤ 271).
         from ..ops.dwconv_pallas import dwconv1d_pallas
 
         y = dwconv1d_pallas(x, w[:, 0, :], pads=_norm_pad(padding))
