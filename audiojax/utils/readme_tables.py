@@ -87,6 +87,35 @@ def zoo_table(rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def quant_table(rows: list[dict]) -> str:
+    """Quantization-plan rows (``model+q8f32`` / ``model+q8dyn``) with their
+    f32 anchor, RTF and SNR-vs-f32 — the measured basis for the README's
+    serving-plan recommendation."""
+    by_model: dict[str, dict] = {}
+    for r in rows:
+        if "error" in r:
+            continue
+        base, _, variant = r["model"].partition("+")
+        by_model.setdefault(base, {})[variant or "f32"] = r
+    lines = ["| Model | plan | RTF | vs f32 RTF | SNR vs f32 |",
+             "|---|---|---|---|---|"]
+    for base, variants in by_model.items():
+        qplans = [k for k in variants if k.startswith("q8")]
+        if not qplans:
+            continue
+        f32 = variants.get("f32")
+        for plan in ("f32", "bfloat16", *sorted(qplans)):
+            r = variants.get(plan)
+            if r is None:
+                continue
+            rel = (f"{r['rtf'] / f32['rtf']:.2f}×" if f32 else "—")
+            snr = (f"{r['snr_vs_f32_db']:.1f} dB" if "snr_vs_f32_db" in r
+                   else ("exact" if plan == "f32" else "—"))
+            lines.append(f"| {_DISPLAY.get(base, base)} | {plan} | "
+                         f"{_fmt_rtf(r['rtf'])} | {rel} | {snr} |")
+    return "\n".join(lines)
+
+
 def headline_table(line: dict) -> str:
     rows = [
         ("ZipEnhancer RTF (60 s clip, 1.5 s folds, f32)", line["value"],
@@ -122,6 +151,9 @@ def main(argv=None) -> int:
     if args.zoo:
         rows = [json.loads(l) for l in Path(args.zoo).read_text().splitlines() if l.strip()]
         text = replace_region(text, "zoo-table", zoo_table(rows))
+        if "<!-- quant-table:begin -->" in text and any(
+                "+q8" in r.get("model", "") for r in rows):
+            text = replace_region(text, "quant-table", quant_table(rows))
     if args.headline:
         line = json.loads(Path(args.headline).read_text())
         text = replace_region(text, "headline-table", headline_table(line))
