@@ -28,7 +28,7 @@ from ..dsp.pcm import pcm_in, pcm_out
 from ..frontend.mel import slaney_mel_fbanks
 from ..nn import core
 from ..nn.core import rms_norm
-from ..nn.mossformer import apply_rotary, rotary_tables
+from ..nn.mossformer import rope_mm_tables
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,15 +93,19 @@ def band_layout(cfg: MelBandConfig):
     return freq_indices, tuple(widths), np.maximum(counts, 1.0)
 
 
-def _attention(p, x, cos, sin, cfg: MelBandConfig):
+def _attention(p, x, rope, cfg: MelBandConfig):
     n, s, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
     normed = rms_norm(p["norm"], x, eps=0.0)
     qkv = core.dense(p["to_qkv"], normed).reshape(n, s, 3, h, dh)
     gates = jax.nn.sigmoid(core.dense(p["to_gates"], normed))  # (n, s, heads)
     q, k, v = [jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3)]  # (n, h, s, dh)
-    q = apply_rotary(q, cos, sin, dh)
-    k = apply_rotary(k, cos, sin, dh)
+    # RoPE with rotate-half as a matmul against a constant signed pair-swap
+    # matrix (exact; lane-interleave shuffles are ~10× slower on TPU — see
+    # nn.mossformer.rope_mm_tables).
+    cos, sin, swap = rope
+    q = q * cos + (q @ swap) * sin
+    k = k * cos + (k @ swap) * sin
     attn = jax.nn.softmax(
         jnp.einsum("nhik,nhjk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
         axis=-1,
@@ -112,8 +116,8 @@ def _attention(p, x, cos, sin, cfg: MelBandConfig):
     return core.dense(p["to_out"], out.reshape(n, s, h * dh))
 
 
-def _transformer(p, x, cos, sin, cfg: MelBandConfig):
-    x = x + _attention(p["attn"], x, cos, sin, cfg)
+def _transformer(p, x, rope, cfg: MelBandConfig):
+    x = x + _attention(p["attn"], x, rope, cfg)
     h = jax.nn.gelu(core.dense(p["ff1"], rms_norm(p["ff_norm"], x, eps=0.0)), approximate=False)
     x = x + core.dense(p["ff2"], h)
     return rms_norm(p["out_norm"], x, eps=0.0)
@@ -140,14 +144,15 @@ def melband_net(p, spec, cfg: MelBandConfig):
     x = jnp.stack(feats, axis=0)  # (nb, B, T, dim)
     nb = cfg.num_bands
 
-    tcos, tsin = (a.astype(dtype) for a in rotary_tables(t, cfg.dim_head))
-    fcos, fsin = (a.astype(dtype) for a in rotary_tables(nb, cfg.dim_head))
+    dh = cfg.dim_head
+    trope = tuple(a.astype(dtype) for a in rope_mm_tables(t, dh, dh))
+    frope = tuple(a.astype(dtype) for a in rope_mm_tables(nb, dh, dh))
     for i in range(cfg.depth):
         seq = x.reshape(nb * b, t, cfg.dim)
-        seq = _transformer(p[f"time{i}"], seq, tcos, tsin, cfg)
+        seq = _transformer(p[f"time{i}"], seq, trope, cfg)
         x = seq.reshape(nb, b, t, cfg.dim)
         seq = jnp.transpose(x, (2, 1, 0, 3)).reshape(t * b, nb, cfg.dim)
-        seq = _transformer(p[f"freq{i}"], seq, fcos, fsin, cfg)
+        seq = _transformer(p[f"freq{i}"], seq, frope, cfg)
         x = jnp.transpose(seq.reshape(t, b, nb, cfg.dim), (2, 1, 0, 3))
 
     # mask estimator: shared-width MLP batched over bands, per-band GLU head.

@@ -161,22 +161,37 @@ def flash_layer(p, x, *, group_size: int, qk_dim: int, rot_dim: int = 32, eps: f
     v, u = proj[..., :vu], proj[..., vu:vu2]
     qk = proj[..., vu2:]
 
-    # OffsetScale → 4 heads (quad_q, lin_q, quad_k, lin_k)
-    scaled = qk[..., None, :] * p["os_gamma"] + p["os_beta"]  # (B, T, 4, qk)
-    cos, sin = rotary_tables(t, rot_dim)
-    scaled = apply_rotary(scaled, cos[:, None, :], sin[:, None, :], rot_dim)
+    # OffsetScale + RoPE, rotate-half as a matmul against a constant signed
+    # pair-swap matrix (exact — each swap column has one ±1 entry; the
+    # lane-interleave shuffle form is ~10× slower on TPU).  Because
+    # (x·γ) @ swap == (x @ swap)·P(γ) with P the unsigned pair-swap
+    # permutation, ONE shared qk @ swap matmul serves all four heads:
+    #   rope(qk·γᵢ+βᵢ) = qk·(γᵢ·cos) + (qk@swap)·(P(γᵢ)·sin)
+    #                    + (βᵢ·cos + (βᵢ@swap)·sin)
+    # so each head is fused elementwise FMAs and the (B, T, 4, qk)
+    # intermediate never materializes.
+    cos_f, sin_f, swap = (a.astype(x.dtype)
+                          for a in rope_mm_tables(t, rot_dim, qk_dim))
+    perm = np.arange(qk_dim)
+    perm[:rot_dim] = perm[:rot_dim] ^ 1  # pair-swap 2m <-> 2m+1
+    gamma_p = p["os_gamma"][:, perm]  # (4, qk) = P(γᵢ)
+    beta_swap = p["os_beta"] @ swap  # (4, qk)
+    qk_swap = qk @ swap  # (B, T, qk) — the one matmul
 
     pad = (-t) % group_size
-    if pad:
-        scaled = jnp.pad(scaled, [(0, 0), (0, pad), (0, 0), (0, 0)])
     g = (t + pad) // group_size
-    scaled = scaled.reshape(b, g, group_size, 4, qk_dim)
-    quad_q, lin_q, quad_k, lin_k = [scaled[..., i, :] for i in range(4)]
 
-    vug = proj[..., :vu2]
-    if pad:
-        vug = jnp.pad(vug, [(0, 0), (0, pad), (0, 0)])
-    vug = vug.reshape(b, g, group_size, vu2)
+    def grouped(a):
+        if pad:
+            a = jnp.pad(a, [(0, 0), (0, pad), (0, 0)])
+        return a.reshape(b, g, group_size, a.shape[-1])
+
+    quad_q, lin_q, quad_k, lin_k = (
+        grouped(qk * (p["os_gamma"][i] * cos_f) + qk_swap * (gamma_p[i] * sin_f)
+                + (p["os_beta"][i] * cos_f + beta_swap[i] * sin_f))
+        for i in range(4)
+    )
+    vug = grouped(proj[..., :vu2])
 
     # quadratic (per-group) attention; zero-padded keys need no mask
     attn = jax.nn.relu(
