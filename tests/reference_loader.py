@@ -226,6 +226,21 @@ def _is_local_import(node: ast.ImportFrom | ast.Import) -> bool:
     return any(any(a.name.startswith(p) for p in _SKIP_LOCAL) for a in node.names)
 
 
+class _AtexitShim(types.SimpleNamespace):
+    """No-op ``atexit`` stand-in: reference scripts register cleanup hooks via
+    top-level *assignments* (``_x = atexit.register(fn)``,
+    Export_DFSMN_AEC.py:1370), which the assignment pass would otherwise
+    execute — handing untrusted reference code an interpreter-exit hook."""
+
+    @staticmethod
+    def register(fn, *a, **k):
+        return fn
+
+    @staticmethod
+    def unregister(fn):
+        pass
+
+
 def load_reference(relpath: str, preset: dict | None = None) -> dict:
     """Execute the definitions (only) of ``/root/reference/<relpath>``.
 
@@ -248,6 +263,8 @@ def load_reference(relpath: str, preset: dict | None = None) -> dict:
             if _is_local_import(node):
                 continue
             exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
+            if isinstance(ns.get("atexit"), types.ModuleType):
+                ns["atexit"] = _AtexitShim()
         elif isinstance(node, (ast.ClassDef, ast.FunctionDef)):
             exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
         elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)) or (

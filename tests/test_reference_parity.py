@@ -1827,3 +1827,16 @@ def test_dfsmn_aec_cascade_e2e_parity_vs_reference_torch():
     print(f"DFSMN-AEC cascade e2e SNR vs reference torch: {snr:.1f} dB, VAD {vad_snr:.1f} dB")
     assert snr >= SNR_GATE_DB
     assert vad_snr >= SNR_GATE_DB
+
+
+def test_loader_does_not_leak_atexit_hooks():
+    """Top-level ``_x = atexit.register(fn)`` assignments in reference scripts
+    (Export_DFSMN_AEC.py:1370) must bind against the loader's no-op shim, not
+    the real interpreter-exit registry — untrusted reference code must never
+    gain an exit hook."""
+    import atexit
+
+    before = atexit._ncallbacks()
+    ns = load_reference("DFSMN_AEC/Export_DFSMN_AEC.py")
+    assert atexit._ncallbacks() == before
+    assert not isinstance(ns.get("atexit"), type(atexit))
