@@ -29,6 +29,7 @@ from ..frontend.mel import slaney_mel_fbanks
 from ..nn import core
 from ..nn.core import rms_norm
 from ..nn.mossformer import rope_mm_tables
+from ..parallel.sharding import shard_hint
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,11 +148,17 @@ def melband_net(p, spec, cfg: MelBandConfig):
     dh = cfg.dim_head
     trope = tuple(a.astype(dtype) for a in rope_mm_tables(t, dh, dh))
     frope = tuple(a.astype(dtype) for a in rope_mm_tables(nb, dh, dh))
+    # In-model tensor parallelism: each axial pass is batched over the OTHER
+    # axis (time attention over nb·B band-tokens, band attention over t·B
+    # time-tokens), so sharding that folded batch over ("dp","tp") partitions
+    # the transformer stack within a window; XLA inserts the all-to-alls at
+    # the axial transpositions (same pattern as ZipEnhancer's dual-path).
     for i in range(cfg.depth):
-        seq = x.reshape(nb * b, t, cfg.dim)
+        seq = shard_hint(x.reshape(nb * b, t, cfg.dim), ("dp", "tp"))
         seq = _transformer(p[f"time{i}"], seq, trope, cfg)
         x = seq.reshape(nb, b, t, cfg.dim)
-        seq = jnp.transpose(x, (2, 1, 0, 3)).reshape(t * b, nb, cfg.dim)
+        seq = shard_hint(
+            jnp.transpose(x, (2, 1, 0, 3)).reshape(t * b, nb, cfg.dim), ("dp", "tp"))
         seq = _transformer(p[f"freq{i}"], seq, frope, cfg)
         x = jnp.transpose(seq.reshape(t, b, nb, cfg.dim), (2, 1, 0, 3))
 

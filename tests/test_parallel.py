@@ -205,3 +205,38 @@ def test_graft_entry_dryrun_multichip_end_to_end():
 def test_make_mesh_too_few_devices_fails_loudly():
     with pytest.raises(ValueError, match="requested a 64-device mesh"):
         make_mesh(64)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_tp_in_model_melband_matches_single_device():
+    """(dp=4, tp=2) with IN-MODEL sharding constraints: Mel-Band's axial
+    transformer folds carry shard_hint(("dp","tp")) on the nb·B / t·B token
+    batches, so tp partitions the transformer stack WITHIN a window; the
+    sharded run must equal the unsharded one."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.models.melband_roformer import (MelBandConfig, init_melband,
+                                                  melband_forward)
+    from audiojax.parallel import spmd_mesh
+
+    cfg = dataclasses.replace(MelBandConfig(), num_bands=12, dim=32, depth=2,
+                              heads=2, dim_head=8, n_fft=512, hop=256)
+    params = init_melband(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.integers(-8000, 8000, (4, 4096), dtype=np.int16))
+
+    ref = jax.jit(lambda pp, a: melband_forward(pp, a, cfg))(params, audio)
+
+    mesh = make_mesh(8, tp=2)
+    rs, ds = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    with spmd_mesh(mesh):
+        fn = jax.jit(lambda pp, a: melband_forward(pp, a, cfg),
+                     in_shardings=(rs, ds), out_shardings=ds)
+        sh = fn(jax.device_put(params, rs), jax.device_put(audio, ds))
+
+    # sharded reductions reassociate f32 sums; at the int16 output boundary
+    # that can flip a sample by 1 LSB (same tolerance as the native-IO tests)
+    diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1, f"max |diff| = {diff.max()}"
