@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..dsp.pcm import INV_INT16, pcm_in, resample_linear
 from ..nn import core
+from ..parallel.sharding import shard_hint
 from ..nn.mossformer import (
     flash_layer,
     gated_fsmn_block_dilated,
@@ -89,6 +90,11 @@ def mossformer2_ss_net(p, audio_normed, cfg: MossFormer2SsConfig):
     mdl_input = h
 
     for i in range(cfg.depth):
+        # Sequence parallelism: shard the frame axis over tp (batch over dp).
+        # The FLASH quadratic attention is group-local so frame shards are
+        # independent; XLA inserts a psum for the global linear-attention
+        # kv reduction and halo exchanges for the FSMN/depthwise convs.
+        h = shard_hint(h, "dp", "tp", None)
         h = flash_layer(p[f"flash{i}"], h, group_size=cfg.group_size, qk_dim=cfg.qk_dim,
                         rot_dim=cfg.rot_dim)
         h = gated_fsmn_block_dilated(p[f"fsmn{i}"], h, lorder=cfg.lorder)

@@ -240,3 +240,37 @@ def test_tp_in_model_melband_matches_single_device():
     # that can flip a sample by 1 LSB (same tolerance as the native-IO tests)
     diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
     assert diff.max() <= 1, f"max |diff| = {diff.max()}"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_sp_in_model_mossformer2_ss_matches_single_device():
+    """(dp=4, tp=2) sequence parallelism: MossFormer2-SS shards the frame axis
+    over tp inside the FLASH stack (psum for the global linear-attention kv,
+    halo exchange for the FSMN convs); sharded == unsharded within 1 LSB."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.models.mossformer2_ss import (MossFormer2SsConfig,
+                                                init_mossformer2_ss,
+                                                mossformer2_ss_forward)
+    from audiojax.parallel import spmd_mesh
+
+    cfg = dataclasses.replace(MossFormer2SsConfig(), dim=32, depth=2,
+                              group_size=16, qk_dim=16, vu_dim=32, rot_dim=8,
+                              fsmn_inner=16, lorder=4, dw_kernel=5)
+    params = init_mossformer2_ss(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    audio = jnp.asarray(rng.integers(-8000, 8000, (4, 4000), dtype=np.int16))
+
+    ref = jax.jit(lambda pp, a: mossformer2_ss_forward(pp, a, cfg))(params, audio)
+
+    mesh = make_mesh(8, tp=2)
+    rs, ds = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    with spmd_mesh(mesh):
+        fn = jax.jit(lambda pp, a: mossformer2_ss_forward(pp, a, cfg),
+                     in_shardings=(rs, ds), out_shardings=ds)
+        sh = fn(jax.device_put(params, rs), jax.device_put(audio, ds))
+
+    diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1, f"max |diff| = {diff.max()}"
