@@ -25,6 +25,7 @@ from ..dsp.pcm import INV_INT16, fold_windows, pcm_in, pcm_out, resample_linear,
 from ..dsp.stft import _stft_basis_np
 from ..frontend.kaldi import log_mel_fbank
 from ..nn import core
+from ..parallel.sharding import shard_hint
 from ..nn.mossformer import (
     flash_layer,
     gated_fsmn_block,
@@ -99,6 +100,8 @@ def mossformer2_se_net(p, fbank, cfg: MossFormer2SeConfig):
 
     h = x
     for i in range(cfg.depth):
+        # sequence parallelism: frame axis over tp (see mossformer2_ss.py)
+        h = shard_hint(h, "dp", "tp", None)
         h = flash_layer(p[f"flash{i}"], h, group_size=cfg.group_size, qk_dim=cfg.qk_dim,
                         rot_dim=cfg.rot_dim)
         h = gated_fsmn_block(p[f"fsmn{i}"], h, lorder=cfg.lorder)

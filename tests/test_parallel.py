@@ -274,3 +274,35 @@ def test_sp_in_model_mossformer2_ss_matches_single_device():
 
     diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
     assert diff.max() <= 1, f"max |diff| = {diff.max()}"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_sp_in_model_mossformer2_se_matches_single_device():
+    """(dp=4, tp=2) sequence parallelism through MossFormer2-SE's FLASH stack
+    (same layout as the SS test, at the net level: fbank in, mask out)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.models.mossformer2_se import (MossFormer2SeConfig,
+                                                init_mossformer2_se,
+                                                mossformer2_se_net)
+    from audiojax.parallel import spmd_mesh
+
+    cfg = dataclasses.replace(MossFormer2SeConfig(), dim=32, depth=2,
+                              group_size=16, qk_dim=16, vu_dim=32, rot_dim=8,
+                              fsmn_inner=16, lorder=4, dw_kernel=5)
+    params = init_mossformer2_se(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    fbank = jnp.asarray(rng.standard_normal((4, 48, 180)).astype(np.float32))
+
+    ref = jax.jit(lambda pp, a: mossformer2_se_net(pp, a, cfg))(params, fbank)
+
+    mesh = make_mesh(8, tp=2)
+    rs, ds = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    with spmd_mesh(mesh):
+        fn = jax.jit(lambda pp, a: mossformer2_se_net(pp, a, cfg),
+                     in_shardings=(rs, ds), out_shardings=ds)
+        sh = fn(jax.device_put(params, rs), jax.device_put(fbank, ds))
+
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(ref), atol=1e-4)
