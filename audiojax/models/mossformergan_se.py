@@ -27,6 +27,7 @@ from jax import lax
 from ..dsp import StftConfig
 from ..dsp.pcm import fold_windows, resample_linear, unfold_windows
 from ..nn import core
+from ..parallel.sharding import shard_hint
 from ..nn.mossformer import rope_mm_tables
 from .zipenhancer import instance_norm_tf
 
@@ -188,6 +189,9 @@ def _sync_path(p, x, cfg: MossFormerGanConfig, *, axis: str):
     else:
         seq = jnp.swapaxes(h, 1, 2).reshape(b * f, t, c)
         bt = f
+    # in-model tp: the SyncANet fold batch (B·T or B·F) splits over (dp, tp),
+    # same pattern as ZipEnhancer's dual-path folds
+    seq = shard_hint(seq, ("dp", "tp"))
     # grouped unfold conv (norm affine folded in by the importer): depthwise
     # kernel emb_ks producing C*emb_ks channels, stride emb_hs
     seq = core.conv1d(p["unfold"], seq, stride=cfg.emb_hs, groups=c)

@@ -306,3 +306,38 @@ def test_sp_in_model_mossformer2_se_matches_single_device():
         sh = fn(jax.device_put(params, rs), jax.device_put(fbank, ds))
 
     np.testing.assert_allclose(np.asarray(sh), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_tp_in_model_mossformergan_matches_single_device():
+    """(dp=4, tp=2) in-model tp through MossFormerGAN's SyncANet dual-path
+    folds (B·T / B·F fold batches split over (dp, tp))."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audiojax.models.mossformergan_se import (MossFormerGanConfig,
+                                                  init_mossformergan,
+                                                  mossformergan_forward)
+    from audiojax.parallel import spmd_mesh
+
+    cfg = dataclasses.replace(MossFormerGanConfig(), emb_dim=8, uv_channels=16,
+                              n_blocks=2, dense_depth=2, lorder=4,
+                              mf_hidden=16, mf_vdim=8, mf_qk=16, mf_rot=8,
+                              dw_kernel=5, attn_heads=2, attn_q_ch=2,
+                              attn_v_ch=4, fold_window=0)
+    params = init_mossformergan(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    audio = jnp.asarray(rng.integers(-8000, 8000, (4, 2000), dtype=np.int16))
+
+    ref = jax.jit(lambda pp, a: mossformergan_forward(pp, a, cfg))(params, audio)
+
+    mesh = make_mesh(8, tp=2)
+    rs, ds = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    with spmd_mesh(mesh):
+        fn = jax.jit(lambda pp, a: mossformergan_forward(pp, a, cfg),
+                     in_shardings=(rs, ds), out_shardings=ds)
+        sh = fn(jax.device_put(params, rs), jax.device_put(audio, ds))
+
+    diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1, f"max |diff| = {diff.max()}"
