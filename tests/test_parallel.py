@@ -341,3 +341,49 @@ def test_tp_in_model_mossformergan_matches_single_device():
 
     diff = np.abs(np.asarray(sh, np.int32) - np.asarray(ref, np.int32))
     assert diff.max() <= 1, f"max |diff| = {diff.max()}"
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_pp_stack_matches_sequential():
+    """Pipeline parallelism: a depth-8 FLASH stack staged over pp=4 chips
+    (microbatched ppermute schedule) must equal the sequential loop."""
+    from functools import partial
+
+    from jax.sharding import Mesh
+
+    from audiojax.nn.mossformer import flash_layer, init_flash_layer
+    from audiojax.parallel.pipeline import pp_stack, stack_layer_params
+
+    dim, depth = 16, 8
+    layer = partial(flash_layer, group_size=8, qk_dim=8, rot_dim=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), depth)
+    per_layer = [init_flash_layer(k, dim, vu_dim=16, qk_dim=8, dw_kernel=3)
+                 for k in keys]
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 24, dim)).astype(np.float32))
+
+    ref = x
+    for p in per_layer:
+        ref = layer(p, ref)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    staged = stack_layer_params(per_layer, 4)
+    out = pp_stack(layer, mesh, staged, x, microbatches=4)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_pp_stack_rejects_bad_shapes():
+    from jax.sharding import Mesh
+
+    from audiojax.parallel.pipeline import pp_stack, stack_layer_params
+
+    with pytest.raises(ValueError, match="not divisible"):
+        stack_layer_params([{"w": jnp.ones((2, 2))}] * 3, 2)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+    staged = stack_layer_params([{"w": jnp.ones((2, 2))}] * 4, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pp_stack(lambda p, h: h, mesh, staged, jnp.ones((6, 2, 2)), microbatches=4)
