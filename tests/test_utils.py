@@ -123,3 +123,46 @@ def test_inspect_model_report():
     assert rep["num_audio_inputs"] == 1
     rep2 = inspect_model("nkf_aec")
     assert rep2["num_audio_inputs"] == 2
+
+
+def test_stage_ablation_mechanism():
+    """ablate() stubs one stage at a time (restoring it), re-traces the
+    forward fresh each time, and attributes latency per stage."""
+    import jax
+    import jax.numpy as jnp
+
+    import audiojax.nn.mossformer as mf
+    from audiojax.utils.ablation import Stage, ablate, stubbed
+
+    calls = {"real": 0, "stub": 0}
+    real_flash = mf.flash_layer
+
+    def counting_flash(p, x, **kw):
+        calls["real"] += 1
+        return real_flash(p, x, **kw)
+
+    def stub_flash(p, x, **kw):
+        calls["stub"] += 1
+        return x
+
+    params = mf.init_flash_layer(jax.random.PRNGKey(0), 16, vu_dim=16,
+                                 qk_dim=8, dw_kernel=3)
+    audio = jnp.zeros((1, 32, 16), jnp.float32)
+
+    with stubbed(mf, "flash_layer", counting_flash):
+        def fwd(p, x):
+            return mf.flash_layer(p, x, group_size=8, qk_dim=8, rot_dim=4)
+
+        report = ablate(
+            make_fn=lambda: jax.jit(fwd), params=params, audio=audio,
+            sample_rate=16000, iters=2, settle=0,
+            stages=[Stage("flash", mf, "flash_layer", stub_flash)],
+        )
+
+    assert mf.flash_layer is real_flash  # restored
+    assert calls["real"] >= 1 and calls["stub"] >= 1  # both traces happened
+    (row,) = report["stages"]
+    assert row["name"] == "flash"
+    assert row["latency_s"] > 0 and report["baseline"]["latency_s"] > 0
+    assert abs(row["attributed_pct"]
+               - 100.0 * row["attributed_s"] / report["baseline"]["latency_s"]) < 1e-9
