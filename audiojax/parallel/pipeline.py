@@ -2,9 +2,9 @@
 
 The zoo's depth-24 MossFormer stacks (MossFormer2-SS/SE) and depth-6
 SyncANet/Zipformer towers are homogeneous layer sequences — the natural
-pipeline shape.  ``pp_stack`` stages such a stack over a ``pp`` mesh axis:
-each chip holds a contiguous chunk of layers, microbatches flow stage to
-stage over ICI via ``lax.ppermute``, and the classic fill/drain schedule
+pipeline shape.  ``pp_stack_fn`` stages such a stack over a ``pp`` mesh
+axis: each chip holds a contiguous chunk of layers, microbatches flow stage
+to stage over ICI via ``lax.ppermute``, and the classic fill/drain schedule
 keeps every stage busy in steady state (M microbatches over S stages cost
 M + S − 1 ticks instead of M·S).
 
@@ -24,6 +24,9 @@ Design notes (TPU-first):
 * Per-stage parameters arrive pre-stacked with a leading (S, L/S) axis and
   sharded over ``pp`` on axis 0, so each chip materialises only its own
   layers — the HBM saving that motivates pp in the first place.
+* ``pp_stack_fn`` returns a stable jitted callable: build it once at serving
+  setup and call it per request (a fresh closure per request would defeat
+  jit's trace cache and recompile the whole schedule every time).
 """
 from __future__ import annotations
 
@@ -34,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["stack_layer_params", "pp_stack"]
+__all__ = ["stack_layer_params", "pp_stack", "pp_stack_fn"]
 
 
 def stack_layer_params(per_layer_params, n_stages: int):
@@ -49,27 +52,24 @@ def stack_layer_params(per_layer_params, n_stages: int):
     )
 
 
-def pp_stack(layer_fn, mesh: Mesh, stage_params, x, *, axis: str = "pp",
-             microbatches: int | None = None):
-    """Apply ``layer_fn`` sequentially over a staged layer stack.
+def pp_stack_fn(layer_fn, mesh: Mesh, *, axis: str = "pp",
+                microbatches: int | None = None):
+    """Build the staged-pipeline executor: ``fn(stage_params, x) -> y``.
 
     layer_fn(layer_params, h) -> h : one layer, shape-preserving.
     stage_params: pytree with leading (S, L/S) axes (see
-        :func:`stack_layer_params`); sharded over ``axis`` here.
+        :func:`stack_layer_params`) — S MUST equal ``mesh.shape[axis]``.
     x: (B, ...) batch; split into ``microbatches`` equal microbatches
        (default: one per stage).  B must divide evenly.
 
-    Returns layer_(L-1)(…layer_0(x)…), bit-comparable to the sequential
-    loop up to reduction order.
+    The returned callable is stable (one trace-cache entry): keep it for the
+    lifetime of the serving mesh and call it per request.  Output equals
+    layer_(L-1)(…layer_0(x)…) up to reduction order.
     """
     n_stages = mesh.shape[axis]
-    m = microbatches or n_stages
-    b = x.shape[0]
-    if b % m:
-        raise ValueError(f"batch {b} not divisible by {m} microbatches")
-    mb = b // m
-    xm = x.reshape((m, mb) + x.shape[1:])
-
+    m = n_stages if microbatches is None else microbatches
+    if m < 1:
+        raise ValueError(f"microbatches must be >= 1, got {m}")
     fwd = [(i, i + 1) for i in range(n_stages - 1)]
 
     def stage_body(params_local, xm_local):
@@ -98,12 +98,34 @@ def pp_stack(layer_fn, mesh: Mesh, stage_params, x, *, axis: str = "pp",
 
     pp_spec = P(axis)
     rep = P()
-    fn = jax.jit(
+    mapped = jax.jit(
         jax.shard_map(
             stage_body, mesh=mesh, in_specs=(pp_spec, rep), out_specs=rep,
             check_vma=False,
         )
     )
-    stage_params = jax.device_put(stage_params, NamedSharding(mesh, pp_spec))
-    ym = fn(stage_params, jax.device_put(xm, NamedSharding(mesh, rep)))
-    return ym.reshape((b,) + ym.shape[2:])
+
+    def run(stage_params, x):
+        s = jax.tree.leaves(stage_params)[0].shape[0]
+        if s != n_stages:
+            raise ValueError(
+                f"stage_params has {s} stages but mesh axis {axis!r} has "
+                f"{n_stages} devices — restack with "
+                f"stack_layer_params(layers, {n_stages})")
+        b = x.shape[0]
+        if b % m:
+            raise ValueError(f"batch {b} not divisible by {m} microbatches")
+        xm = x.reshape((m, b // m) + x.shape[1:])
+        stage_params = jax.device_put(stage_params, NamedSharding(mesh, pp_spec))
+        ym = mapped(stage_params, jax.device_put(xm, NamedSharding(mesh, rep)))
+        return ym.reshape((b,) + ym.shape[2:])
+
+    return run
+
+
+def pp_stack(layer_fn, mesh: Mesh, stage_params, x, *, axis: str = "pp",
+             microbatches: int | None = None):
+    """One-shot convenience wrapper around :func:`pp_stack_fn` (compiles per
+    call — use ``pp_stack_fn`` for serving loops)."""
+    return pp_stack_fn(layer_fn, mesh, axis=axis, microbatches=microbatches)(
+        stage_params, x)

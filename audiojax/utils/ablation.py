@@ -9,18 +9,24 @@ time the FULL forward; the latency drop is the stage's true in-context cost
 
 Usage::
 
-    import audiojax.nn.mossformer as mf
+    import audiojax.models.mossformer2_ss as m2ss
     report = ablate(
-        make_fn=lambda: jax.jit(partial(forward, cfg=cfg)),
+        make_fn=lambda: jax.jit(partial(m2ss.mossformer2_ss_net, cfg=cfg)),
         params=params, audio=audio, sample_rate=16000,
-        stages=[Stage("gau", mf, "flash_layer", lambda p, x, **k: x)],
+        stages=[Stage("gau", m2ss, "flash_layer", lambda p, x, **k: x)],
     )
 
 Each stub must preserve the stage's output shape/dtype (usually
 ``lambda *a, **k: <identity on the main operand>``) so the rest of the
-graph compiles unchanged.  Because the forward is re-traced per ablation,
-``make_fn`` must return a FRESH jitted callable (a plain ``jax.jit`` of the
-model fn — never a cached module-level jit).
+graph compiles unchanged.
+
+``Stage.module`` must be the module whose namespace the forward READS —
+models bind blocks by value at import time (``from ..nn.mossformer import
+flash_layer``), so stub the MODEL module (``m2ss`` above), not the defining
+module: patching ``audiojax.nn.mossformer`` would leave the model's own
+binding untouched and silently profile nothing.  ``ablate`` enforces this:
+every stub is call-counted during its trace and a stage whose stub never
+ran raises instead of reporting a bogus ~0 attribution.
 """
 from __future__ import annotations
 
@@ -73,10 +79,23 @@ def ablate(*, make_fn: Callable[[], Callable], params, audio, sample_rate: int,
                        iters=iters, settle=settle)
     rows = []
     for st in stages:
-        with stubbed(st.module, st.attr, st.stub):
+        hits = 0
+
+        def counted(*a, _stub=st.stub, **kw):
+            nonlocal hits
+            hits += 1
+            return _stub(*a, **kw)
+
+        with stubbed(st.module, st.attr, counted):
             jax.clear_caches()
             r = measure_rtf(make_fn(), params, audio, sample_rate=sample_rate,
                             iters=iters, settle=settle)
+        if hits == 0:
+            raise ValueError(
+                f"stage {st.name!r}: stub for {st.module.__name__}.{st.attr} "
+                f"was never called while tracing the forward — Stage.module "
+                f"must be the module the forward actually reads (models bind "
+                f"blocks by value at import; stub the model module)")
         saved = base["latency_s"] - r["latency_s"]
         rows.append({
             "name": st.name,

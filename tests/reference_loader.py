@@ -263,8 +263,21 @@ def load_reference(relpath: str, preset: dict | None = None) -> dict:
             if _is_local_import(node):
                 continue
             exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
-            if isinstance(ns.get("atexit"), types.ModuleType):
-                ns["atexit"] = _AtexitShim()
+            # shim EVERY name the import bound to the real atexit module or
+            # its attributes ("import atexit as _ae", "from atexit import
+            # register" included), not just the literal "atexit" binding
+            import atexit as _real_atexit
+
+            shim = _AtexitShim()
+            for alias in node.names:
+                bound = alias.asname or alias.name.split(".")[0]
+                val = ns.get(bound)
+                if val is _real_atexit:
+                    ns[bound] = shim
+                elif getattr(val, "__module__", None) == "atexit" or (
+                    isinstance(node, ast.ImportFrom) and node.module == "atexit"
+                ):
+                    ns[bound] = getattr(shim, alias.name, shim.register)
         elif isinstance(node, (ast.ClassDef, ast.FunctionDef)):
             exec(compile(ast.Module(body=[node], type_ignores=[]), str(path), "exec"), ns)
         elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)) or (

@@ -387,3 +387,19 @@ def test_pp_stack_rejects_bad_shapes():
     staged = stack_layer_params([{"w": jnp.ones((2, 2))}] * 4, 4)
     with pytest.raises(ValueError, match="not divisible"):
         pp_stack(lambda p, h: h, mesh, staged, jnp.ones((6, 2, 2)), microbatches=4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device CPU mesh")
+def test_pp_stack_rejects_stage_mesh_mismatch():
+    """Stage count != mesh size must fail loudly (a[0] would silently drop
+    every chunk after the first), and microbatches=0 is rejected."""
+    from jax.sharding import Mesh
+
+    from audiojax.parallel.pipeline import pp_stack, pp_stack_fn, stack_layer_params
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    staged4 = stack_layer_params([{"w": jnp.ones((2, 2))}] * 8, 4)
+    with pytest.raises(ValueError, match="4 stages but mesh"):
+        pp_stack(lambda p, h: h, mesh, staged4, jnp.ones((4, 2, 2)))
+    with pytest.raises(ValueError, match="microbatches must be >= 1"):
+        pp_stack_fn(lambda p, h: h, mesh, microbatches=0)

@@ -1840,3 +1840,26 @@ def test_loader_does_not_leak_atexit_hooks():
     ns = load_reference("DFSMN_AEC/Export_DFSMN_AEC.py")
     assert atexit._ncallbacks() == before
     assert not isinstance(ns.get("atexit"), type(atexit))
+
+
+def test_loader_shims_aliased_atexit_imports(tmp_path, monkeypatch):
+    """'import atexit as X' and 'from atexit import register' must bind the
+    shim too — the literal-name check alone left the aliased forms live."""
+    import atexit
+
+    import reference_loader as rl
+
+    script = tmp_path / "Export_Alias.py"
+    script.write_text(
+        "import atexit as _ae\n"
+        "from atexit import register\n"
+        "def _boom():\n"
+        "    raise RuntimeError('leaked exit hook')\n"
+        "_x = _ae.register(_boom)\n"
+        "_y = register(_boom)\n"
+    )
+    monkeypatch.setattr(rl, "REFERENCE_ROOT", tmp_path)
+    before = atexit._ncallbacks()
+    ns = rl.load_reference("Export_Alias.py")
+    assert atexit._ncallbacks() == before
+    assert ns["_x"] is ns["_boom"] and ns["_y"] is ns["_boom"]

@@ -166,3 +166,23 @@ def test_stage_ablation_mechanism():
     assert row["latency_s"] > 0 and report["baseline"]["latency_s"] > 0
     assert abs(row["attributed_pct"]
                - 100.0 * row["attributed_s"] / report["baseline"]["latency_s"]) < 1e-9
+
+
+def test_stage_ablation_rejects_unintercepted_stub():
+    """A Stage whose stub never runs (wrong module targeted) must raise, not
+    report ~0 attribution."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import audiojax.nn.mossformer as mf
+    from audiojax.utils.ablation import Stage, ablate
+
+    def fwd(p, x):
+        return x * p["s"]  # never touches mf.flash_layer
+
+    with pytest.raises(ValueError, match="never called"):
+        ablate(make_fn=lambda: jax.jit(fwd), params={"s": jnp.float32(2)},
+               audio=jnp.zeros((1, 8), jnp.float32), sample_rate=16000,
+               iters=1, settle=0,
+               stages=[Stage("flash", mf, "flash_layer", lambda p, x, **k: x)])
