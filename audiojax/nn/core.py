@@ -68,7 +68,9 @@ def dyn_int8_matmul(x, q8, scale):
     x: float (..., in); q8: int8 (in, out); scale: float (1, out)."""
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, jnp.finfo(jnp.float32).tiny) * (1.0 / 127.0)
-    xq = jnp.round(x / xs).astype(jnp.int8)
+    # clip before the int8 cast: low-precision x/xs can round to 128, which
+    # would WRAP to -128 (weights get the same clip in quantize_tree)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
     acc = lax.dot_general(xq, q8, (((x.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * xs.astype(jnp.float32)
@@ -135,7 +137,10 @@ def _dw_shift_conv(w, x, pads, dilations):
             slice(tap[a] * dilations[a], tap[a] * dilations[a] + out_shape[a])
             for a in range(spatial)
         )
-        term = (x[idx] * w[tap][0]).astype(jnp.float32)
+        # cast BEFORE multiplying: bf16×bf16 products must not round to bf16
+        # (route parity with lax.conv's MXU f32 accumulator and the Pallas
+        # kernel, which also upcast operands first)
+        term = x[idx].astype(jnp.float32) * w[tap][0].astype(jnp.float32)
         acc = term if acc is None else acc + term
     return acc.astype(x.dtype)
 
@@ -159,8 +164,8 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
     for i in range(k):
         seg = lax.slice_in_dim(xr, i * dilation, i * dilation + t_out, axis=1)
         for r in range(m):
-            # f32 accumulation (lax.conv parity); cast back at the end
-            term = (seg[..., r] * w[i, r]).astype(jnp.float32)
+            # f32 products AND accumulation (lax.conv parity); cast at the end
+            term = seg[..., r].astype(jnp.float32) * w[i, r].astype(jnp.float32)
             acc = term if acc is None else acc + term
     return acc.astype(x.dtype)
 
@@ -176,6 +181,9 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
     elif (groups > 1 and w.shape[1] >= 2 and w.shape[2] == groups
             and x.shape[-1] == w.shape[1] * groups
             and stride == 1 and taps <= 2 * _DW_UNROLL_MAX_TAPS):
+        # taps > 128 falls through to lax below: the unroll emits one fused
+        # op per tap, and past ~128 taps compile time and op-count overhead
+        # outgrow the ~25× lax penalty; no zoo model exceeds 40 (k=20·m=2)
         y = _grouped_single_out_conv1d(w, x, _norm_pad(padding), dilation)
     elif (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and dilation == 1 and x.ndim == 3

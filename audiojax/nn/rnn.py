@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .core import as_weight
+
 __all__ = [
     "gru",
     "gru_bidir",
@@ -41,9 +43,10 @@ def gru_cell(p, x, h):
 
     Used by models that run their own recurrence (e.g. the NKF-AEC Kalman
     scan, where each Kalman frame advances four GRU states by one step)."""
-    hidden = p["w_h"].shape[0]
-    xt = jnp.matmul(x, p["w_i"]) + p["b_i"]
-    gh = jnp.matmul(h, p["w_h"]) + p["b_h"]
+    w_i, w_h = as_weight(p["w_i"]), as_weight(p["w_h"])  # q8 leaves: fused dequant
+    hidden = w_h.shape[0]
+    xt = jnp.matmul(x, w_i) + p["b_i"]
+    gh = jnp.matmul(h, w_h) + p["b_h"]
     xr, xz, xn = _split3(xt, hidden)
     hr, hz, hn = _split3(gh, hidden)
     r = jax.nn.sigmoid(xr + hr)
@@ -54,9 +57,9 @@ def gru_cell(p, x, h):
 
 def gru(p, x, h0=None, *, reverse: bool = False, return_state: bool = False):
     """GRU over ``x (B, T, in)`` → ``(B, T, H)`` (torch cell semantics)."""
-    w_h = p["w_h"]
+    w_h = as_weight(p["w_h"])  # q8 leaves: fused dequant
     hidden = w_h.shape[0]
-    xp = jnp.matmul(x, p["w_i"]) + p["b_i"]  # (B, T, 3H)
+    xp = jnp.matmul(x, as_weight(p["w_i"])) + p["b_i"]  # (B, T, 3H)
     b_h = p["b_h"]
     if h0 is None:
         h0 = jnp.zeros(x.shape[:-2] + (hidden,), x.dtype)
@@ -135,9 +138,9 @@ def _split4(a, h):
 
 def lstm(p, x, state=None, *, reverse: bool = False, return_state: bool = False):
     """LSTM over ``x (B, T, in)`` → ``(B, T, H)`` (torch cell semantics)."""
-    w_h = p["w_h"]
+    w_h = as_weight(p["w_h"])  # q8 leaves: fused dequant
     hidden = w_h.shape[0]
-    xp = jnp.matmul(x, p["w_i"]) + p["b_i"]
+    xp = jnp.matmul(x, as_weight(p["w_i"])) + p["b_i"]
     b_h = p["b_h"]
     if state is None:
         z = jnp.zeros(x.shape[:-2] + (hidden,), x.dtype)

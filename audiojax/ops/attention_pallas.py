@@ -61,10 +61,18 @@ def quad_attention_pallas(q, k, v, *, scale: float, mask_diag: bool = False,
                           block_rows: int = 8, interpret: bool = False):
     """Fused relu² attention; same contract as :func:`quad_attention_jnp`."""
     n, s, _ = q.shape
-    # size the row block to a ~6 MB VMEM budget (Q+K+V in, O out, double-buffered)
+    # size the row block to a ~6 MB VMEM budget (Q+K+V in, O out, double-
+    # buffered, PLUS the per-row (s, s) f32 similarity tile the kernel
+    # materialises — the QUADRATIC term that dominates at large S)
     itemsize = jnp.dtype(v.dtype).itemsize
-    bytes_per_row = itemsize * s * (q.shape[-1] + k.shape[-1] + 2 * v.shape[-1])
+    bytes_per_row = (itemsize * s * (q.shape[-1] + k.shape[-1] + 2 * v.shape[-1])
+                     + 4 * s * s)
     tb = max(1, min(block_rows, (6 * 2**20) // max(bytes_per_row, 1), n))
+    if bytes_per_row > 12 * 2**20:
+        # even tb=1 cannot hold the similarity tile + blocks in VMEM —
+        # fall back to the HBM-materialising jnp path instead of a Mosaic
+        # allocation failure at compile time
+        return quad_attention_jnp(q, k, v, scale=scale, mask_diag=mask_diag)
     blocks = -(-n // tb)
     if blocks * tb != n:  # pad the batch axis; garbage rows are sliced away
         pad = blocks * tb - n

@@ -127,18 +127,25 @@ def apply_plan(params, plan: Plan):
             )
         blocked = {p for hits in matched.values() for p in hits}
 
+        n_cast = 0
+
         def convert(path, leaf):
+            nonlocal n_cast
             if path in blocked or not hasattr(leaf, "dtype") or leaf.ndim < 2:
                 return leaf
             if leaf.dtype not in (jnp.float32, np.float32):
                 return leaf
+            n_cast += 1
             return jnp.asarray(leaf, jnp.bfloat16)
 
+        # reuse the canonical path strings from _leaf_paths (same flatten
+        # order) so block matching and conversion can never use different
+        # path formats
         flat = jax.tree_util.tree_flatten_with_path(params)
-        leaves = [convert("/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path), leaf)
-                  for path, leaf in flat[0]]
+        leaves = [convert(p, leaf) for (p, _), (_, leaf) in zip(paths, flat[0])]
         out = jax.tree_util.tree_unflatten(flat[1], leaves)
-        n_cast = sum(1 for l in leaves if hasattr(l, "dtype") and l.dtype == jnp.bfloat16)
+        # count only leaves THIS pass converted: pre-existing bf16 leaves must
+        # not satisfy the fail-closed zero-cast check
         if n_cast == 0:
             raise ValueError(f"plan {plan.name!r}: bf16 cast ZERO leaves — contract drift, aborting")
         audit.update(leaves_cast_bf16=n_cast, leaves_blocked_f32=len(blocked))

@@ -58,14 +58,13 @@ class StreamingSession:
 class _Lane:
     """Per-stream bookkeeping inside a StreamingServer batch lane."""
 
-    __slots__ = ("residuals", "pushed", "raw_out", "aligned_out", "open")
+    __slots__ = ("residuals", "pushed", "raw_out", "aligned_out")
 
     def __init__(self, n_inputs: int):
         self.residuals = [np.zeros(0, np.int16) for _ in range(n_inputs)]
         self.pushed = 0
         self.raw_out = 0
         self.aligned_out = 0
-        self.open = True
 
 
 class StreamingServer:

@@ -27,26 +27,36 @@ def _is_quant_leaf(x) -> bool:
     return isinstance(x, dict) and set(x) == {"q8", "scale"}
 
 
+_QUANT_KEYS = ("w", "w_i", "w_h")  # dense/conv + RNN input/hidden weights
+
+
 def quantize_tree(params, min_size: int = _MIN_SIZE):
-    """float32 WEIGHT leaves (≥ min_size elements, ≥ 2 dims, key ≠ 'b') →
-    {'q8', 'scale'} dicts.
+    """float32 WEIGHT leaves (≥ min_size elements, ≥ 2 dims, key in
+    ``_QUANT_KEYS``) → {'q8', 'scale'} dicts.
 
     Symmetric per-output-column scales (last axis), matching how dynamic ORT
-    quantization scales MatMul initializers.  Bias leaves ('b') are never
-    quantized, whatever their shape — ORT quantizes initializers of MatMuls
-    only, and nn.core consumes biases as raw arrays."""
+    quantization scales MatMul initializers.  Only keys consumed through the
+    q8-aware routes are eligible — ``w`` flows through ``core.as_weight`` /
+    ``core.dense`` and ``w_i``/``w_h`` through ``nn.rnn``'s ``as_weight``
+    calls; everything else (biases, norm gains — some of which are 2-D, e.g.
+    GTCRN's (width, hidden) LayerNorm affine — is consumed by raw arithmetic
+    and would crash or silently misbehave as a {'q8','scale'} dict)."""
     import jax.tree_util as jtu
 
     def q(path, leaf):
         key = getattr(path[-1], "key", None) if path else None
-        if key == "b":
+        if key not in _QUANT_KEYS:
             return leaf
         if not hasattr(leaf, "shape") or leaf.ndim < 2 or leaf.size < min_size:
             return leaf
         if leaf.dtype not in (jnp.float32, np.float32):
             return leaf
         arr = np.asarray(leaf, np.float32)
-        amax = np.abs(arr).max(axis=tuple(range(arr.ndim - 1)), keepdims=True)
+        # reduce over the CONTRACTION axis only (ndim−2), keeping leading
+        # axes: grouped/stacked weights (e.g. the vmapped grouped-GRU's
+        # (G, in, 3H) w_i) then carry per-group scales whose leading dims
+        # match q8's, so jax.vmap over params axis 0 stays consistent
+        amax = np.abs(arr).max(axis=arr.ndim - 2, keepdims=True)
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         q8 = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
         return {"q8": jnp.asarray(q8), "scale": jnp.asarray(scale)}

@@ -119,3 +119,20 @@ def test_pallas_dwconv1d_matches_core_conv1d():
     want = np.asarray(core.conv1d({"w": w, "b": b}, x, padding=4, groups=128))
     got = np.asarray(dwconv1d_jnp(x, w[:, 0, :], pads=(4, 4)) + b)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_quad_attention_pallas_large_s_falls_back():
+    """When even one similarity tile cannot fit VMEM, quad_attention_pallas
+    must return the jnp path result instead of failing Mosaic allocation."""
+    import numpy as np
+
+    from audiojax.ops.attention_pallas import (quad_attention_jnp,
+                                               quad_attention_pallas)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 2048, 128)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2048, 128)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2048, 256)).astype(np.float32))
+    out = quad_attention_pallas(q, k, v, scale=1 / 128)
+    ref = quad_attention_jnp(q, k, v, scale=1 / 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -156,9 +156,10 @@ def test_optimize_q8_artifact_roundtrip(tmp_path):
     dst = optimize_artifact(src, tmp_path / "dst", Plan("q8f32", quantize="q8f32", q8_min_size=256))
     report = json.loads((dst / "optimize_report.json").read_text())
     assert report["leaves_quantized"] > 0
-    # GTCRN is tiny and its (never-quantized) biases weigh in at min_size=256;
-    # big-dense models compress ~3.9x
-    assert report["compression"] > 1.8
+    # GTCRN is tiny: biases and norm affines are never quantized (only
+    # w/w_i/w_h keys are — anything else is consumed by raw arithmetic and
+    # must stay float); big-dense models compress ~3.9x
+    assert report["compression"] > 1.5
 
     qparams, qmanifest = load_artifact(dst)
     assert qmanifest.extra["optimize"]["quantize"] == "q8f32"
@@ -488,3 +489,20 @@ def test_session_stereo_multiwindow_stitch():
     reso = so.process(x)
     assert reso.outputs[0].shape == (2, 10_500)
     np.testing.assert_array_equal(reso.outputs[0], -x)
+
+
+def test_optimize_bf16_audit_counts_only_converted_leaves():
+    """Pre-existing bf16 leaves must not satisfy the fail-closed zero-cast
+    check: re-applying a bf16 plan to an already-bf16 tree aborts."""
+    import jax.numpy as jnp
+    import pytest
+
+    from audiojax.runtime import Plan, apply_plan
+
+    params = {"stft": {"w": jnp.ones((4, 4), jnp.float32)},
+              "net": {"w": jnp.ones((64, 64), jnp.float32)}}
+    plan = Plan("p", compute_dtype="bf16", fp32_block=(r"^stft/",))
+    out, report = apply_plan(params, plan)
+    assert report["leaves_cast_bf16"] == 1
+    with pytest.raises(ValueError, match="ZERO leaves"):
+        apply_plan(out, plan)

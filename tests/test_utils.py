@@ -186,3 +186,26 @@ def test_stage_ablation_rejects_unintercepted_stub():
                audio=jnp.zeros((1, 8), jnp.float32), sample_rate=16000,
                iters=1, settle=0,
                stages=[Stage("flash", mf, "flash_layer", lambda p, x, **k: x)])
+
+
+def test_q8dyn_gru_model_serves():
+    """q8dyn artifacts quantize RNN weights too; rnn.py consumes them via
+    as_weight (fused dequant), so an RNN-bearing model must serve unwrapped
+    (it crashed with a TypeError before the as_weight route)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiojax.models.gtcrn import GtcrnConfig, gtcrn_forward, init_gtcrn
+    from audiojax.utils.quantize import quantize_tree
+
+    cfg = GtcrnConfig()
+    params = init_gtcrn(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params, min_size=256)  # small floor: hit GRU leaves
+    from audiojax.nn.core import is_q8
+    q_leaves = [l for l in jax.tree.leaves(
+        qparams, is_leaf=is_q8) if is_q8(l)]
+    assert q_leaves, "expected quantized leaves"
+
+    audio = jnp.zeros((1, 4096), jnp.int16)
+    out = gtcrn_forward(qparams, audio, cfg)  # must trace + run, not TypeError
+    assert out.shape == (1, 4096)
