@@ -31,8 +31,12 @@ def pcm_in(audio) -> jnp.ndarray:
 
 
 def pcm_out(x, dtype=jnp.int16) -> jnp.ndarray:
-    """float in [-1, 1] → int16 PCM with int32-staged clamp."""
-    y = x * PCM_OUT_SCALE
+    """float in [-1, 1] → int16 PCM with int32-staged clamp.
+
+    The scale/clip runs in f32 regardless of input dtype: 32767 is not
+    representable in bf16 (rounds to 32768), so a bf16-domain clip would let
+    full-scale positives wrap to −32768 at the int16 cast."""
+    y = x.astype(jnp.float32) * PCM_OUT_SCALE
     y = jnp.clip(y, -32768.0, 32767.0)
     if dtype == jnp.int16:
         return y.astype(jnp.int32).astype(jnp.int16)

@@ -160,7 +160,7 @@ def _inv_win_sum_np(cfg: StftConfig, n_frames: int, out_length: int | None) -> n
     # normalised by the decaying COLA sum there — NOT trim-both-pads-then-cut.
     end = start + out_length if out_length is not None else (raw - start)
     acc = acc[start:end]
-    inv = np.where(acc == 0.0, 1.0, 1.0 / np.where(acc == 0.0, 1.0, acc))
+    inv = np.where(acc == 0.0, 1.0, 1.0 / np.maximum(acc, 1e-300))
     return (inv * cfg.output_scale).astype(np.float32)
 
 
@@ -179,6 +179,12 @@ def pad_center(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
         return x
     h = cfg.half
     if cfg.pad_mode == "reflect":
+        if x.shape[-1] < h + 1:
+            # torch.stft errors here too; a silent short pad would
+            # desynchronise the frame count from num_frames()
+            raise ValueError(
+                f"reflect center-pad of {h} needs at least {h + 1} samples, "
+                f"got {x.shape[-1]}")
         left = jnp.flip(x[..., 1 : h + 1], axis=-1)
         right = jnp.flip(x[..., -(h + 1) : -1], axis=-1)
         return jnp.concatenate([left, x, right], axis=-1)
@@ -294,6 +300,13 @@ def istft_packed(
         # reference semantics (SDAEC/STFT_Process.py:178): exactly out_length
         # samples from out_start, extending into the right centre-pad region
         end = start + out_length
+        if end > raw.shape[-1]:
+            raise ValueError(
+                f"out_length={out_length} exceeds the overlap-added signal: "
+                f"{n_t} frames cover only {raw.shape[-1] - start} output "
+                f"samples — the documented exactly-out_length contract "
+                f"cannot be met (a silent short return would break "
+                f"static-shape consumers)")
     else:
         end = raw.shape[-1] - start
     out = raw[..., start:end]

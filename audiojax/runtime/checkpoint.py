@@ -18,9 +18,33 @@ from .manifest import Manifest
 __all__ = ["save_artifact", "load_artifact"]
 
 
+def _check_roundtrippable(tree, where="params"):
+    """Fail closed at SAVE time on structures the template-less loader cannot
+    distinguish: msgpack stores lists as {"0": ...} dicts, so a genuine dict
+    with contiguous digit keys would reload as a list, and an empty list as
+    an empty dict (use load_artifact(params_template=...) to carry those)."""
+    if isinstance(tree, dict):
+        if tree and all(isinstance(k, str) and k.isdigit() for k in tree) \
+                and sorted(map(int, tree)) == list(range(len(tree))):
+            raise ValueError(
+                f"{where}: dict with contiguous digit keys would reload as a "
+                f"LIST without a params_template — rename the keys or load "
+                f"with a template")
+        for k, v in tree.items():
+            _check_roundtrippable(v, f"{where}/{k}")
+    elif isinstance(tree, (list, tuple)):
+        if len(tree) == 0:
+            raise ValueError(
+                f"{where}: empty list would reload as an empty dict without "
+                f"a params_template")
+        for i, v in enumerate(tree):
+            _check_roundtrippable(v, f"{where}/{i}")
+
+
 def save_artifact(path, params, manifest: Manifest) -> Path:
     from flax import serialization
 
+    _check_roundtrippable(params)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_params = jax.tree.map(np.asarray, params)

@@ -101,8 +101,10 @@ class Manifest:
         fields = {f.name for f in dataclasses.fields(cls)}
         known = {k: v for k, v in data.items() if k in fields}
         unknown = {k: v for k, v in data.items() if k not in fields}
-        if unknown:
-            known.setdefault("extra", {}).update(unknown)
+        # copy 'extra' rather than alias the caller's dict (mutating it here
+        # would corrupt the caller's data, and later Manifest.extra edits
+        # would leak back into it)
+        known["extra"] = {**known.get("extra", {}), **unknown}
         return cls(**known)
 
     # ── derived runtime configuration ────────────────────────────────────
@@ -168,9 +170,10 @@ def main(argv=None):
     data = _json.loads(p.read_text())
     for k in sorted(data):
         print(f"{k} = {data[k]!r}")
-    missing = [k for k in REQUIRED_KEYS if k not in data or data[k] in (None, "")]
-    if missing:
-        print(f"MISSING required keys: {missing}", file=sys.stderr)
+    try:
+        validate_manifest_dict(data)  # the one canonical fail-closed rule
+    except KeyError as e:
+        print(str(e), file=sys.stderr)
         return 1
     print(f"OK: all {len(REQUIRED_KEYS)} required keys present")
     return 0

@@ -97,6 +97,11 @@ class Session:
     def _window_geometry(self, n: int):
         w = self.cfg["INPUT_AUDIO_LENGTH"]
         overlap = self.cfg["OVERLAP_LENGTH"]
+        if overlap and overlap >= w:
+            raise ValueError(
+                f"manifest OVERLAP_LENGTH ({overlap}) must be smaller than "
+                f"INPUT_AUDIO_LENGTH ({w}) — window stride would be "
+                f"{w - overlap}")
         stride = w - overlap if overlap else w
         num = 1 if n <= w else int(np.ceil((n - w) / stride)) + 1
         # dp sharding needs a whole number of windows per chip; the extra
@@ -200,4 +205,9 @@ class Session:
                 t[-overlap:] = 1.0
             acc[s : s + w_out] += windows[i].astype(np.float32) * t
             norm[s : s + w_out] += t
-        return np.clip(np.round(acc / np.maximum(norm, 1e-7)), -32768, 32767).astype(np.int16)
+        out = acc / np.maximum(norm, 1e-7)
+        if windows.dtype == np.int16:
+            return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+        # float-output models keep their dtype through OLA (the single-window
+        # and butt-join paths already do — dtype must not depend on clip length)
+        return out.astype(windows.dtype)

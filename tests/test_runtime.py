@@ -506,3 +506,39 @@ def test_optimize_bf16_audit_counts_only_converted_leaves():
     assert report["leaves_cast_bf16"] == 1
     with pytest.raises(ValueError, match="ZERO leaves"):
         apply_plan(out, plan)
+
+
+def test_manifest_from_dict_does_not_alias_extra():
+    d = dataclasses.asdict(_manifest())
+    d = {k: v for k, v in d.items() if v not in (None, {},)}
+    d["extra"] = {"a": 1}
+    d["custom_key"] = 2
+    m = Manifest.from_dict(d)
+    assert m.extra["custom_key"] == 2
+    assert "custom_key" not in d["extra"], "caller's dict was mutated"
+    m.extra["later"] = 3
+    assert "later" not in d["extra"], "Manifest.extra aliases caller's dict"
+
+
+def test_session_rejects_overlap_ge_window():
+    import pytest
+
+    m = Manifest(model_name="t", task="denoise", model_family="T",
+                 in_sample_rate=16000, out_sample_rate=16000,
+                 model_sample_rate=16000, input_audio_length=4000,
+                 overlap_length=4000)
+    s = Session(lambda p, a: a, {}, m, jit=False)
+    with pytest.raises(ValueError, match="OVERLAP_LENGTH"):
+        s.process(np.zeros(10_000, np.int16))
+
+
+def test_save_artifact_rejects_unroundtrippable_trees(tmp_path):
+    import pytest
+
+    m = Manifest(model_name="t", task="denoise", model_family="T",
+                 in_sample_rate=16000, out_sample_rate=16000,
+                 model_sample_rate=16000, input_audio_length=4000)
+    with pytest.raises(ValueError, match="digit keys"):
+        save_artifact(tmp_path / "a", {"0": np.zeros(4), "1": np.zeros(4)}, m)
+    with pytest.raises(ValueError, match="empty list"):
+        save_artifact(tmp_path / "b", {"layers": []}, m)
