@@ -29,6 +29,7 @@ def _banded_np(taps: tuple, block: int) -> np.ndarray:
     t = np.asarray(taps, np.float32)
     for p in range(block):
         b[p : p + k, p] = t
+    b.flags.writeable = False  # cached: callers must not mutate
     return b
 
 
@@ -50,6 +51,9 @@ def fir_gemm(x: jnp.ndarray, taps: np.ndarray, *, left: int = 0,
     x = jnp.pad(x, [(0, 0)] * len(lead) + [(left, max(0, total - x.shape[-1] - left))])
     x = x[..., :total]
     # frame into overlapping (n_blocks, width) rows: reshape + shifted slices
+    # (same zero-gather framing trick as dsp/stft.py:frame_signal with
+    # hop=block, n_fft=width — kept inline because the padding geometry
+    # differs: FIR pads for filter delay, STFT for centring)
     k_seg = -(-width // block)
     rows_needed = n_blocks + k_seg - 1
     row_total = rows_needed * block

@@ -64,7 +64,9 @@ def kaldi_analysis_basis(
     folded[-1] = basis[-1]
     if remove_dc:
         folded = folded - folded.mean(axis=0, keepdims=True)
-    return folded.astype(np.float32)
+    folded = folded.astype(np.float32)
+    folded.flags.writeable = False  # cached: callers must not mutate
+    return folded
 
 
 def _mel(f):
@@ -105,6 +107,7 @@ def kaldi_mel_banks(
     fb = np.where((mel_bins[None, :] > left) & (mel_bins[None, :] < right), fb, 0.0)
     out = np.zeros((nfft // 2 + 1, n_mels), dtype=np.float32)
     out[:n_bins] = fb.T
+    out.flags.writeable = False  # cached: callers must not mutate
     return out
 
 

@@ -141,7 +141,12 @@ def _bn_scale_bias(sd, bn_key, eps=1e-5):
 
 def fuse_bn_conv2d(sd, conv_key, bn_key, groups: int = 1, eps=1e-5):
     """BatchNorm folded into a Conv2d (reference fuse_bn_,
-    /root/reference/GTCRN/Export_GTCRN.py:171-194), emitted in HWIO layout."""
+    /root/reference/GTCRN/Export_GTCRN.py:171-194), emitted in HWIO layout.
+
+    ``groups`` is accepted for call-site symmetry but intentionally unused:
+    BN scales the OUTPUT channel axis (axis 0 of torch's (out, in/g, kh, kw)
+    layout), which grouping never re-partitions — the fold is identical for
+    any groups value."""
     w = to_np(sd[f"{conv_key}.weight"])  # (out, in/g, kh, kw)
     scale, bias = _bn_scale_bias(sd, bn_key, eps)
     w = w * scale[:, None, None, None]
@@ -185,7 +190,7 @@ def prelu_alpha(sd, key):
     return {"alpha": to_np(sd[f"{key}.weight"]).astype(np.float32)}
 
 
-def stereo_to_mono_linear(w, band_widths_stereo=None):
+def stereo_to_mono_linear(w):
     """Mel-Band mono folding: average the interleaved L/R input columns of a
     band-split Linear (/root/reference/Mel_Band_Roformer/Mono/
     Export_MelBandRoformer.py:270-344).  w: (out, 2·win) → (out, win)."""

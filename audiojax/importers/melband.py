@@ -107,7 +107,7 @@ def import_melband(ckpt, cfg=None, stem: int = 0):
         if fold_mono:
             gamma = _fold_gamma_stereo_to_mono(gamma)
             # stereo_to_mono_linear folds torch-layout (out, in) columns
-            lin = {"w": stereo_to_mono_linear(lin["w"].T, None).T, "b": lin["b"]}
+            lin = {"w": stereo_to_mono_linear(lin["w"].T).T, "b": lin["b"]}
         band_split.append({"norm": {"g": gamma}, "lin": lin})
     params["band_split"] = band_split
 

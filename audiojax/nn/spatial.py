@@ -59,9 +59,13 @@ def wpe(x, *, taps: int, delay: int = 2, num_iter: int = 1, cg_iter: int = 36):
     b, m, f, t = x.shape
     xp = jnp.swapaxes(x, 1, 2)  # (B, F, M, T)
 
-    # delay bank: (B, F, M*Lg, T); row (l, m) is x[m] delayed by delay+l frames
+    # delay bank: (B, F, M*Lg, T); row (l, m) is x[m] delayed by delay+l frames.
+    # max(·, 0) clamps the keep-length for clips shorter than delay+taps
+    # frames (a negative slice stop would count from the END and stack would
+    # raise a confusing shape error); fully-shifted-out rows become zeros.
     delayed = [
-        jnp.pad(xp[..., : t - (delay + l)], [(0, 0), (0, 0), (0, 0), (delay + l, 0)])
+        jnp.pad(xp[..., : max(t - (delay + l), 0)],
+                [(0, 0), (0, 0), (0, 0), (min(delay + l, t), 0)])
         for l in range(taps)
     ]
     x_delay = jnp.stack(delayed, axis=2).reshape(b, f, m * taps, t)

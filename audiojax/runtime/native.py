@@ -8,6 +8,7 @@ accelerator, never a hard dependency.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
@@ -37,11 +38,15 @@ def _load():
     _tried = True
     try:
         if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            # build to a per-pid temp path and rename into place: rename is
+            # atomic, so concurrent processes can never CDLL a half-written .so
+            tmp = _SO.with_suffix(f".so.build{os.getpid()}")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _SO)
         lib = ctypes.CDLL(str(_SO))
         lib.wav_parse_header.restype = ctypes.c_int
         lib.wav_decode_mono16.restype = ctypes.c_int
@@ -82,6 +87,17 @@ def read_wav_mono16(path) -> tuple[np.ndarray, int]:
     )
     if rc != 0:
         raise ValueError(f"invalid WAV file ({rc}): {path}")
+    # bound-check BEFORE handing the header-claimed frame count to C: a
+    # truncated/malformed data chunk must not drive an out-of-bounds read,
+    # and bits<8 would divide by zero in the frame-size computation
+    if bits.value < 8:
+        raise ValueError(f"unsupported WAV bit depth {bits.value}: {path}")
+    frame_bytes = ch.value * (bits.value // 8)
+    if off.value + n.value * frame_bytes > data.size:
+        raise ValueError(
+            f"truncated WAV: header claims {n.value} frames "
+            f"({n.value * frame_bytes} bytes at offset {off.value}) but file "
+            f"has {data.size} bytes: {path}")
     out = np.empty(n.value, np.int16)
     rc = lib.wav_decode_mono16(
         data.ctypes.data_as(ctypes.c_void_p), off, n,
@@ -112,15 +128,22 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     )
     if rc != 0:
         raise ValueError(f"invalid FLAC stream ({rc})")
-    # total_samples may legally be 0 (unknown); bound by the stream size then
-    cap = total.value if total.value > 0 else buf.size * 4 // max(ch.value, 1)
-    out = np.empty((cap, ch.value), np.int16)
-    n = lib.flac_decode_i16(
-        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(buf.size),
-        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
-    )
-    if n < 0:
-        raise ValueError(f"FLAC decode failed ({n})")
+    # total_samples may legally be 0 (unknown); start from a stream-size
+    # heuristic and GROW on exhaustion — highly compressible streams
+    # (silence) can exceed any fixed ratio, and a silent truncation would
+    # violate the fail-closed contract above
+    cap = total.value if total.value > 0 else max(buf.size * 4 // max(ch.value, 1), 4096)
+    while True:
+        out = np.empty((cap, ch.value), np.int16)
+        n = lib.flac_decode_i16(
+            buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(buf.size),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+        )
+        if n < 0:
+            raise ValueError(f"FLAC decode failed ({n})")
+        if n < cap or total.value > 0:
+            break
+        cap *= 4  # buffer filled exactly with unknown total: may be clipped
     return out[:n].T.copy(), rate.value
 
 
@@ -206,7 +229,10 @@ def ola_stitch(windows: np.ndarray, stride_out: int) -> np.ndarray:
     windows = np.ascontiguousarray(windows, np.int16)
     num, w_out = windows.shape
     total = (num - 1) * stride_out + w_out
-    out = np.empty(total, np.int16)
+    # zeros, not empty: for stride_out > w_out (gapped windows) the C fast
+    # path writes only the window spans, and the gaps must be silence rather
+    # than uninitialized memory
+    out = np.zeros(total, np.int16)
     rc = lib.ola_stitch_i16(
         windows.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(num),
         ctypes.c_int64(w_out), ctypes.c_int64(stride_out),

@@ -48,7 +48,9 @@ int wav_parse_header(const uint8_t* data, int64_t size, int32_t* channels,
       bps = bits16;
       fmt_found = 1;
     } else if (memcmp(hdr, "data", 4) == 0) {
-      if (!fmt_found || ch <= 0 || bps <= 0) return -2;
+      // bps < 8 would make (ch * (bps / 8)) zero -> SIGFPE on the divide;
+      // sub-byte WAV payloads are unsupported anyway
+      if (!fmt_found || ch <= 0 || bps < 8) return -2;
       if (fmt_tag != 1 && fmt_tag != 3 && fmt_tag != 0xFFFE) return -3;
       *channels = ch;
       *sample_rate = rate;

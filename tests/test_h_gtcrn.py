@@ -77,3 +77,19 @@ def test_forward_contract():
     assert out.shape == (1, 8192)
     assert out.dtype == jnp.int16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_wpe_short_clip_zero_pads_delay_bank():
+    """Clips shorter than delay+taps frames must not crash on negative slice
+    stops (fully-shifted-out delay rows become zeros)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiojax.nn.spatial import wpe
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((1, 2, 5, 16, 2)) @ np.array([1, 1j]))
+                    .astype(np.complex64))
+    y = wpe(x, taps=18, delay=2, num_iter=1)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y.real)) & jnp.all(jnp.isfinite(y.imag)))

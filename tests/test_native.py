@@ -206,3 +206,35 @@ def test_read_audio_dispatches_by_magic(tmp_path):
     (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02\x03junk")
     with pytest.raises(ValueError, match="register_decoder"):
         read_audio(tmp_path / "x.bin")
+
+
+def test_read_wav_rejects_truncated_and_tiny_bitdepth(tmp_path):
+    """Header-claimed frame counts are bounds-checked in Python BEFORE the C
+    decode (a lying data-chunk size must not drive an out-of-bounds read),
+    and sub-byte bit depths are rejected instead of dividing by zero."""
+    import struct
+
+    import pytest
+
+    from audiojax.runtime import native
+
+    if not native.available():
+        pytest.skip("native audioio unavailable")
+
+    def wav_bytes(n_frames_claimed, n_frames_real, bits=16):
+        data = b"\x01\x00" * n_frames_real
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + n_frames_claimed * 2, b"WAVE",
+            b"fmt ", 16, 1, 1, 16000, 16000 * bits // 8, bits // 8 or 1, bits,
+            b"data", n_frames_claimed * (bits // 8 or 1))
+        return hdr + data
+
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(wav_bytes(n_frames_claimed=1000, n_frames_real=10))
+    with pytest.raises(ValueError, match="truncated WAV"):
+        native.read_wav_mono16(p)
+
+    p4 = tmp_path / "4bit.wav"
+    p4.write_bytes(wav_bytes(n_frames_claimed=10, n_frames_real=10, bits=4))
+    with pytest.raises(ValueError, match="bit depth|invalid WAV"):
+        native.read_wav_mono16(p4)
