@@ -24,7 +24,10 @@ _DECODERS: list[tuple[bytes, object]] = []
 
 def register_decoder(magic: bytes, decoder) -> None:
     """Register ``decoder(path) -> ((channels, n) int16, rate)`` for files
-    whose first bytes equal ``magic``."""
+    whose first bytes equal ``magic`` (up to 32 bytes — the header prefix
+    read_audio sniffs)."""
+    if len(magic) > 32:
+        raise ValueError(f"decoder magic longer than the 32-byte sniff window: {len(magic)}")
     _DECODERS.insert(0, (magic, decoder))
 
 
@@ -41,7 +44,7 @@ def read_audio(path) -> tuple[np.ndarray, int]:
     native decoder (native/audioio.cc), plus anything added through
     :func:`register_decoder`."""
     with open(path, "rb") as fh:
-        head = fh.read(8)
+        head = fh.read(32)  # long enough for any registered decoder magic
     for magic, decoder in _DECODERS:
         if head.startswith(magic):
             return decoder(path)

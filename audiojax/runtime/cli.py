@@ -17,6 +17,17 @@ import sys
 from pathlib import Path
 
 
+def _default_out(inp: Path, suffix: str) -> Path:
+    """Default output path: next to the input, UNLESS the input lives in the
+    read-only reference tree (--example inputs) — then the cwd."""
+    import os
+
+    parent = inp.parent
+    if not os.access(parent, os.W_OK):
+        parent = Path.cwd()
+    return parent / (inp.stem + suffix)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="audiojax", description=__doc__)
     ap.add_argument("--model", help="model name (see --list)")
@@ -52,23 +63,28 @@ def main(argv=None):
     from .checkpoint import load_artifact
     from .session import Session
 
-    cfg = spec.make_config()
-    if args.compute_dtype:
-        import dataclasses
+    import dataclasses
 
-        if not registry.has_compute_dtype(cfg):
-            print(f"{spec.name} has no compute_dtype knob; see the README's "
-                  "bf16 model list or `inspect_model --all`", file=sys.stderr)
-            return 2
-        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    cfg = spec.make_config()
     if args.artifact:
         params, manifest = load_artifact(args.artifact)
+        if manifest.model_name != spec.name:
+            print(f"artifact was exported for model {manifest.model_name!r} "
+                  f"but --model is {spec.name!r}; refusing to serve with "
+                  "mixed geometry", file=sys.stderr)
+            return 2
+        stored = (manifest.extra or {}).get("config")
+        if stored is not None:
+            # rebuild the EXACT exported config (JSON turned tuples into
+            # lists; convert back for shape-bearing fields)
+            def _detuple(v):
+                return tuple(_detuple(x) for x in v) if isinstance(v, list) else v
+
+            cfg = type(cfg)(**{k: _detuple(v) for k, v in stored.items()})
         # artifacts exported with --compute-dtype record it; reproduce unless
         # the user overrides on the command line
         recorded = (manifest.extra or {}).get("activation_compute_dtype")
-        if recorded and not args.compute_dtype:
-            import dataclasses
-
+        if recorded and not args.compute_dtype and stored is None:
             if registry.has_compute_dtype(cfg):
                 cfg = dataclasses.replace(cfg, compute_dtype=recorded)
             else:
@@ -80,7 +96,13 @@ def main(argv=None):
                       "to serve with a different dtype than exported",
                       file=sys.stderr)
                 return 2
-    else:
+    if args.compute_dtype:
+        if not registry.has_compute_dtype(cfg):
+            print(f"{spec.name} has no compute_dtype knob; see the README's "
+                  "bf16 model list or `inspect_model --all`", file=sys.stderr)
+            return 2
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    if not args.artifact:
         print(f"note: no --artifact given; using randomly initialised {spec.name} params", file=sys.stderr)
         params = spec.init_params(jax.random.PRNGKey(args.seed), cfg)
         manifest = spec.make_manifest(cfg)
@@ -115,16 +137,24 @@ def main(argv=None):
                   f"{[n for n in registry.names() if registry.get(n).make_stream]}",
                   file=sys.stderr)
             return 2
-        ss = StreamingSession(spec, params, cfg, block_hops=args.block_hops)
+        from .optimize import materialize_params
+
+        # the streaming path cannot wrap the forward, so optimized artifact
+        # params are materialized host-side (q8f32 dequant / bf16 upcast)
+        ss = StreamingSession(spec, materialize_params(params, manifest), cfg,
+                              block_hops=args.block_hops)
         monos = [to_mono(a) if a.ndim > 1 else a for a in audios]
-        n = min(m.shape[-1] for m in monos)
+        # pad to the LONGEST input like Session.process (min() would silently
+        # drop the tail of the longer AEC signal)
+        n = max(m.shape[-1] for m in monos)
+        monos = [np.pad(m, (0, n - m.shape[-1])) for m in monos]
         t0 = time.perf_counter()
-        pieces = [ss.push(*[m[..., :n] for m in monos])]
+        pieces = [ss.push(*monos)]
         pieces.append(ss.flush())
         elapsed = time.perf_counter() - t0
         out = np.concatenate(pieces)
-        out_path = Path(args.output) if args.output else inputs[0].with_name(
-            inputs[0].stem + f".{spec.name}.stream.wav")
+        out_path = Path(args.output) if args.output else _default_out(
+            inputs[0], f".{spec.name}.stream.wav")
         written = write_wav(out_path, out, manifest.out_sample_rate)
         print(f"wrote {written}")
         dur = out.shape[-1] / manifest.out_sample_rate
@@ -138,7 +168,7 @@ def main(argv=None):
     session = Session(wrap_forward(spec.make_forward(cfg), manifest), params, manifest)
     result = session.process(*audios)
 
-    out_base = Path(args.output) if args.output else inputs[0].with_name(inputs[0].stem + f".{spec.name}.wav")
+    out_base = Path(args.output) if args.output else _default_out(inputs[0], f".{spec.name}.wav")
     written = []
     if len(result.outputs) == 1:
         written.append(write_wav(out_base, result.outputs[0], manifest.out_sample_rate))

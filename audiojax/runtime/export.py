@@ -62,6 +62,12 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
                                report_path=out_dir / "import_report.json", **kw)
 
     manifest = spec.make_manifest(cfg)
+    # record the FULL serving config: the CLI rebuilds from this so artifacts
+    # exported with non-default cfg (depths, alphas, dims) don't silently
+    # serve with spec.make_config() defaults
+    manifest = dataclasses.replace(
+        manifest, extra={**manifest.extra, "config": dataclasses.asdict(cfg)}
+    )
     if compute_dtype is not None:
         manifest = dataclasses.replace(
             manifest, extra={**manifest.extra, "activation_compute_dtype": compute_dtype}

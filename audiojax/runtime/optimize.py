@@ -155,6 +155,27 @@ def apply_plan(params, plan: Plan):
     return params, audit
 
 
+def materialize_params(params, manifest):
+    """Host-side equivalent of :func:`wrap_forward` for serving paths that
+    cannot wrap the forward (state-carry streaming builds step/init fns from
+    the spec): q8f32 dequantizes, bf16-plan weights upcast, q8dyn passes
+    through (nn.core consumes {'q8','scale'} natively)."""
+    opt = (manifest.extra or {}).get("optimize", {})
+    if opt.get("quantize") == "q8f32":
+        from ..utils.quantize import dequantize_tree
+
+        return dequantize_tree(params)
+    if opt.get("compute_dtype") == "bf16":
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(
+            lambda l: l.astype(jnp.float32) if getattr(l, "dtype", None) == jnp.bfloat16 else l,
+            params,
+        )
+    return params
+
+
 def wrap_forward(fn, manifest):
     """Wrap a model forward so optimized params serve transparently: dequantize
     q8 leaves / upcast bf16 weights INSIDE jit (XLA fuses the converts)."""

@@ -97,5 +97,8 @@ def _ensure_builtin():
     global _BUILTIN_LOADED
     if _BUILTIN_LOADED:
         return
-    _BUILTIN_LOADED = True
+    # mark loaded only AFTER the import succeeds: a failed model import must
+    # keep failing on every call, not leave a silently partial registry
     from . import builtin_models  # noqa: F401  (registers on import)
+
+    _BUILTIN_LOADED = True

@@ -52,6 +52,8 @@ _STUB_MODULES = [
     "onnx",
     "onnx.helper",
     "onnxruntime",
+    "onnxruntime.capi",
+    "onnxruntime.capi._pybind_state",
     "onnxslim",
     "pydub",
     "soundfile",

@@ -33,13 +33,56 @@ def test_backend_selection_errors():
 def test_vad_timestamps_bridging():
     probs = np.zeros(100)
     probs[10:30] = 0.9
-    probs[33:50] = 0.9   # 3-frame dip -> bridged by 0.3 s look-ahead (15 frames)
-    probs[80:82] = 0.9   # 2 frames = 40 ms < min_speech -> dropped
+    probs[33:50] = 0.9   # 3-frame dip -> absorbed by the look-ahead mean
+    probs[80:82] = 0.9   # 2-frame blip: look-ahead mean never confirms speech
     ts = vad_timestamps(probs, hop=320, sample_rate=16000, look_ahead_s=0.3)
     assert len(ts) == 1
     s, e = ts[0]
     assert abs(s - 10 * 0.02) < 1e-6
-    assert abs(e - 50 * 0.02) < 1e-6
+    # reference semantics: end = first silent frame time + one frame
+    assert abs(e - (50 * 0.02 + 0.02)) < 1e-6
+
+
+def test_vad_matches_reference_state_machine():
+    """Golden: our probabilities_to_silence / fusion must equal the
+    reference's own probabilities_to_silence + vad_to_timestamps +
+    process_timestamps on random inputs
+    (/root/reference/DFSMN_AEC/Inference_DFSMN_ONNX_AEC.py:383-443)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from reference_loader import load_reference
+
+    from audiojax.runtime.vad import (fuse_timestamps,
+                                      probabilities_to_silence)
+
+    ns = load_reference("DFSMN_AEC/Inference_DFSMN_ONNX_AEC.py")
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        probs = rng.random(200)
+        look = int(rng.integers(1, 30))
+        speak = float(rng.uniform(0.3, 0.7))
+        sil = float(rng.uniform(0.3, 0.7))
+        ref_states = ns["probabilities_to_silence"](probs, speak, sil, look)
+        ours = probabilities_to_silence(
+            probs, speaking_score=speak, silence_score=sil, look_ahead_frames=look)
+        assert list(ref_states) == list(ours), f"trial {trial}"
+
+        frame_s = 0.02
+        ref_ts = ns["process_timestamps"](
+            ns["vad_to_timestamps"](ref_states, frame_s), 0.3, 0.2)
+        seg, start = [], None
+        for i, silent in enumerate(ours):
+            if silent and start is not None:
+                seg.append((start, i * frame_s + frame_s)); start = None
+            elif not silent and start is None:
+                start = i * frame_s
+        if start is not None:
+            seg.append((start, (len(ours) - 1) * frame_s + frame_s))
+        ours_ts = fuse_timestamps(seg, fusion_threshold_s=0.3, min_speech_s=0.2)
+        assert np.allclose(np.asarray(ref_ts).reshape(-1, 2) if ref_ts else np.zeros((0, 2)),
+                           np.asarray(ours_ts).reshape(-1, 2) if ours_ts else np.zeros((0, 2)))
 
 
 def test_dfsmn_aec_streaming_cascade_matches_offline_interior():
