@@ -45,6 +45,7 @@ __all__ = [
     "frame_signal",
     "overlap_add",
     "steady_cola_np",
+    "stream_istft",
     "stft",
     "stft_packed",
     "stft_real",
@@ -217,6 +218,26 @@ def frame_signal(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     segs = [rows[..., k : k + n_t, :] for k in range(k_seg)]
     frames = jnp.concatenate(segs, axis=-1)
     return frames[..., : cfg.n_fft]
+
+
+def stream_istft(packed: jnp.ndarray, cfg: StftConfig, ola_tail: jnp.ndarray,
+                 emit_len: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """iDFT + overlap-add ONE streaming chunk of packed spectra.
+
+    packed: (B, T, 2F) with T·hop == emit_len; ola_tail: (B, n_fft − hop)
+    carried from the previous chunk.  Returns (float samples (B, emit_len)
+    normalised by the steady-state COLA divisor, new ola_tail).  Shared by
+    every state-carry streaming model (identical tail logic — one place to
+    fix OLA/divisor edge cases)."""
+    ibasis = jnp.asarray(_istft_basis_np(cfg))
+    frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
+                        preferred_element_type=jnp.float32,
+                        precision=_DFT_PRECISION)
+    raw = overlap_add(frames, cfg.hop)  # (B, T·hop + n_fft − hop)
+    carry = cfg.n_fft - cfg.hop
+    raw = raw.at[:, :carry].add(ola_tail)
+    divisor = jnp.tile(jnp.asarray(steady_cola_np(cfg)), emit_len // cfg.hop)
+    return raw[:, :emit_len] * divisor, raw[:, emit_len:]
 
 
 def steady_cola_np(cfg: StftConfig) -> np.ndarray:

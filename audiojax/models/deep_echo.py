@@ -149,6 +149,11 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
 
 
 def deep_echo_stream_init(cfg: DeepEchoConfig = DeepEchoConfig(), batch: int = 1):
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     carry = cfg.n_fft - cfg.hop
     c = cfg.channels
     z = lambda h: (jnp.zeros((batch * cfg.f_bins, h), jnp.float32),
@@ -172,7 +177,7 @@ def deep_echo_stream_step(params, state, near_chunk, far_chunk,
     Like SDAEC, the constant center pad coincides with the streaming zero
     prefix, so the stream matches the offline path exactly at a
     (n_fft − hop)-sample delay (no DC removal in the stream)."""
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+    from ..dsp.stft import stream_istft
 
     assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     frame_cfg = dataclasses.replace(cfg.stft, center=False)
@@ -187,23 +192,17 @@ def deep_echo_stream_step(params, state, near_chunk, far_chunk,
 
     packed, net_state = deep_echo_net(params, mix, far, cfg, state=state["net"])
 
-    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)
+
 
     carry = cfg.n_fft - cfg.hop
     emit_len = near_chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(packed, frame_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "near_tail": buf_n[:, -carry:],
         "far_tail": buf_f[:, -carry:],
         "net": net_state,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, (out if cfg.float_output else pcm_out(out))
 

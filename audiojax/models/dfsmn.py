@@ -149,6 +149,11 @@ def dfsmn_forward(params, audio, cfg: DfsmnConfig = DfsmnConfig()):
 def dfsmn_stream_init(cfg: DfsmnConfig, batch: int = 1):
     """Fresh streaming state: audio tail (n_fft−hop raw samples), per-layer
     FSMN memories, and the overlap-add tail of the synthesis window."""
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     carry = cfg.n_fft - cfg.hop
     return {
         "audio_tail": jnp.zeros((batch, carry), jnp.float32),
@@ -196,24 +201,16 @@ def dfsmn_stream_step(params, state, chunk, cfg: DfsmnConfig = DfsmnConfig()):
     mask, fsmn_state = dfsmn_mask_net(params, fbank, state["fsmn"])
     masked = spec * jnp.concatenate([mask, mask], axis=-1)
 
-    from ..dsp.stft import _istft_basis_np, overlap_add
-
-    ibasis = jnp.asarray(_istft_basis_np(cfg.istft_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", masked, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)  # (B, k·hop + n_fft − hop)
+    from ..dsp.stft import stream_istft
 
     carry = cfg.n_fft - cfg.hop
     emit_len = chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(_steady_cola_np(cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(masked, cfg.istft_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "audio_tail": buf[:, -carry:],
         "fsmn": fsmn_state,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, pcm_out(out)
 

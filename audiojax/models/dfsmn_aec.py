@@ -149,6 +149,11 @@ def dfsmn_aec_stream_init(cfg: DfsmnAecConfig = DfsmnAecConfig(), batch: int = 1
     159-sample delay is padded up to one full stage-2 hop so stage-2 frames
     stay hop-aligned with the offline path), stage-2 framing tails, FSMN
     memories, and the synthesis OLA tail."""
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     bcfg, b_init, _, b_delay = _stream_backend(cfg)
     pad_to_hop = cfg.hop - b_delay  # extra temp buffering (e.g. 320-159=161)
     carry2 = cfg.frame_len - cfg.hop
@@ -213,18 +218,10 @@ def dfsmn_aec_stream_step(params, state, near_chunk, far_chunk,
                       preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
     masked = spec * jnp.concatenate([mask, mask], axis=-1)
 
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
-
-    ibasis = jnp.asarray(_istft_basis_np(cfg.mask_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", masked, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)
+    from ..dsp.stft import stream_istft
 
     carry2 = cfg.frame_len - cfg.hop
-    raw = raw.at[:, :carry2].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(cfg.mask_cfg)), m // cfg.hop)
-    out = raw[:, :m] * divisor
+    out, new_tail = stream_istft(masked, cfg.mask_cfg, state["ola_tail"], m)
 
     new_state = {
         "backend": bstate,
@@ -233,7 +230,7 @@ def dfsmn_aec_stream_step(params, state, near_chunk, far_chunk,
         "near_tail": buf_n[:, -carry2:],
         "temp_tail": buf_t[:, -carry2:],
         "fsmn": fsmn_state,
-        "ola_tail": raw[:, m:],
+        "ola_tail": new_tail,
     }
     result = pcm_out(out)
     return (new_state, (result, vad)) if cfg.output_vad else (new_state, result)

@@ -278,6 +278,11 @@ def gtcrn_stream_init(cfg: GtcrnConfig = GtcrnConfig(), batch: int = 1):
     """Fresh streaming state: audio framing tail, per-block depthwise conv
     caches + TRA GRU states, dual-path inter GRU states, and the synthesis
     overlap-add tail."""
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     c = cfg.channels
     carry = cfg.n_fft - cfg.hop
 
@@ -310,9 +315,8 @@ def gtcrn_stream_step(params, state, chunk, cfg: GtcrnConfig = GtcrnConfig()):
     applied (the offline path removes the clip-global mean, which a live
     stream cannot know).
     """
-    import numpy as np
 
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+    from ..dsp.stft import stream_istft
 
     assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     x = pcm_in(chunk)
@@ -328,22 +332,16 @@ def gtcrn_stream_step(params, state, chunk, cfg: GtcrnConfig = GtcrnConfig()):
     m0, m1 = mask[..., 0], mask[..., 1]
     enhanced = jnp.concatenate([re * m0 - im * m1, im * m0 + re * m1], axis=-1)
 
-    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", enhanced, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)  # (B, k·hop + n_fft − hop)
+  # (B, k·hop + n_fft − hop)
 
     carry = cfg.n_fft - cfg.hop
     emit_len = chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(enhanced, frame_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "audio_tail": buf[:, -carry:],
         "net": net_state,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, pcm_out(out)
 

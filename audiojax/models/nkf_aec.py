@@ -22,7 +22,6 @@ affines to the two parts; ComplexGRU combines four real GRU passes as
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -150,7 +149,8 @@ def nkf_scan(params, ref_spec, mic_spec, cfg: NkfConfig, state=None):
     echo = jnp.swapaxes(echo, 0, 1)  # (B, T, F, 2)
     if state is None:
         return echo
-    return echo, (carry_out, padded[:, -(filter_l - 1):])
+    # NOTE: -(L-1) with L=1 would be -0: (the WHOLE array); slice by start
+    return echo, (carry_out, padded[:, padded.shape[1] - (filter_l - 1):])
 
 
 def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
@@ -159,7 +159,7 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
     x = pcm_in(pair)
     if cfg.in_sample_rate != cfg.sample_rate:
         x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
-    if cfg.demean:
+    if cfg.demean and not cfg.fold_window:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     batch = far_end.shape[0]
@@ -170,6 +170,10 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
         x = jnp.pad(x, [(0, 0), (0, padded - model_len)])
     if cfg.fold_window:
         x = fold_windows(x, cfg.fold_window)
+        if cfg.demean:
+            # reference order: fold FIRST, demean PER WINDOW
+            # (Export_NKF_AEC.py:255-269 reshapes before audio_pair.mean)
+            x = x - jnp.mean(x, axis=-1, keepdims=True)
 
     from ..ops.stft_pallas import fast_istft_packed, fast_stft_packed
 
@@ -198,6 +202,11 @@ def nkf_forward(params, far_end, near_end, cfg: NkfConfig = NkfConfig()):
 
 
 def nkf_stream_init(cfg: NkfConfig = NkfConfig(), batch: int = 1):
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     carry = cfg.n_fft - cfg.hop
     f, l = cfg.f_bins, cfg.filter_order
     n = batch * f
@@ -219,7 +228,7 @@ def nkf_stream_step(params, state, near_chunk, far_chunk, cfg: NkfConfig = NkfCo
     Processes as if (n_fft − hop) zeros were prepended with snip-edges
     framing; the Kalman filter state (h_prior/h_post, the four GRU states,
     the reference delay line) carries exactly."""
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+    from ..dsp.stft import stream_istft
 
     assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     frame_cfg = dataclasses.replace(cfg.stft, center=False)
@@ -236,23 +245,17 @@ def nkf_stream_step(params, state, near_chunk, far_chunk, cfg: NkfConfig = NkfCo
     out_sp = mic_spec - echo
     packed = jnp.concatenate([out_sp[..., 0], out_sp[..., 1]], axis=-1)
 
-    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)
+
 
     carry = cfg.n_fft - cfg.hop
     emit_len = near_chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(packed, frame_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "near_tail": buf_n[:, -carry:],
         "far_tail": buf_f[:, -carry:],
         "kalman": kalman,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, (out if cfg.float_output else pcm_out(out))
 

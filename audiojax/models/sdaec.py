@@ -15,13 +15,12 @@ this unfused form; the importer may fold them.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..dsp import StftConfig, istft_packed, stft_packed
-from ..dsp.pcm import fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
+from ..dsp.pcm import pcm_in, pcm_out, resample_linear
 from ..nn import core
 from ..nn.cfb import cfb, ch_lstm_f, ch_lstm_t, init_cfb, init_ch_lstm_f, init_ch_lstm_t, init_iccrn_ln, iccrn_layer_norm
 
@@ -73,7 +72,8 @@ def alpha_align(p, mix_power, far_power, k: int, cache=None, *, return_cache: bo
     full = jnp.concatenate([cache, feats], axis=1)
     a = core.conv1d(p, full)  # kernel (k, 2, 1), valid over T outputs
     alpha = jnp.abs(a[..., 0])
-    return (alpha, full[:, -(k - 1):]) if return_cache else alpha
+    # slice by start index: -(k-1) with k=1 would be -0: (the whole history)
+    return (alpha, full[:, full.shape[1] - (k - 1):]) if return_cache else alpha
 
 
 def iccrn_net(p, x, cfg: SdaecConfig, state=None):
@@ -112,7 +112,6 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     if cfg.demean:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
 
-    batch = near_end.shape[0]
     model_len = x.shape[-1]
     if cfg.fold_window:
         raise ValueError("in-graph batch-fold is unsupported for odd-NFFT models; "
@@ -139,9 +138,6 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
     feats = jnp.stack([mix[..., :fb], mix[..., fb:], far[..., :fb], far[..., fb:]], axis=-1)
     out = iccrn_net(params, feats, cfg)
     y = fast_istft_packed(out, cfg.stft, out_length=x.shape[-1])
-
-    if cfg.fold_window:
-        y = unfold_windows(y, batch)
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)
@@ -156,6 +152,11 @@ def sdaec_forward(params, near_end, far_end, cfg: SdaecConfig = SdaecConfig()):
 
 
 def sdaec_stream_init(cfg: SdaecConfig = SdaecConfig(), batch: int = 1):
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     carry = cfg.n_fft - cfg.hop
     c = cfg.channels
     z = lambda h: (jnp.zeros((batch * cfg.f_bins, h), jnp.float32),
@@ -178,7 +179,7 @@ def sdaec_stream_step(params, state, near_chunk, far_chunk, cfg: SdaecConfig = S
     samples.  No DC removal (the offline path removes the clip-global mean,
     which a live stream cannot know).
     """
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+    from ..dsp.stft import stream_istft
 
     assert near_chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     frame_cfg = dataclasses.replace(cfg.stft, center=False)
@@ -200,24 +201,18 @@ def sdaec_stream_step(params, state, near_chunk, far_chunk, cfg: SdaecConfig = S
     feats = jnp.stack([mix[..., :fb], mix[..., fb:], fspec[..., :fb], fspec[..., fb:]], axis=-1)
     packed, net_state = iccrn_net(params, feats, cfg, state=state["net"])
 
-    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", packed, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)  # (B, m·hop + n_fft − hop)
+  # (B, m·hop + n_fft − hop)
 
     carry = cfg.n_fft - cfg.hop
     emit_len = near_chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(packed, frame_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "near_tail": buf_n[:, -carry:],
         "far_tail": buf_f[:, -carry:],
         "alpha": alpha_cache,
         "net": net_state,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, (out if cfg.float_output else pcm_out(out))
 

@@ -329,6 +329,11 @@ def _stream_plan(cfg: UlUnasConfig):
 
 
 def ul_unas_stream_init(cfg: UlUnasConfig = UlUnasConfig(), batch: int = 1):
+    if cfg.in_sample_rate != cfg.sample_rate or cfg.out_sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"streaming runs at the model rate only ({cfg.sample_rate} Hz); "
+            "resample on the host (the offline forward resamples "
+            "in-graph, the stream step does not)")
     carry = cfg.n_fft - cfg.hop
     enc_plan, dec_plan = _stream_plan(cfg)
 
@@ -357,7 +362,7 @@ def ul_unas_stream_step(params, state, chunk, cfg: UlUnasConfig = UlUnasConfig()
     Same zero-prepended snip-edges semantics as the GTCRN stream; output is
     delayed by (n_fft − hop) samples.  (UL-UNAS applies no DC removal, so the
     stream has no DC divergence from the offline path.)"""
-    from ..dsp.stft import _istft_basis_np, overlap_add, steady_cola_np
+    from ..dsp.stft import stream_istft
 
     assert chunk.shape[-1] % cfg.hop == 0, "chunk length must be a hop multiple"
     frame_cfg = dataclasses.replace(cfg.stft, center=False)
@@ -367,22 +372,16 @@ def ul_unas_stream_step(params, state, chunk, cfg: UlUnasConfig = UlUnasConfig()
     spec = stft_packed(buf, frame_cfg)
     out_spec, net_state = ul_unas_net(params, spec, cfg, state=state["net"])
 
-    ibasis = jnp.asarray(_istft_basis_np(frame_cfg))
-    out_frames = jnp.einsum("...tf,fn->...tn", out_spec, ibasis,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    raw = overlap_add(out_frames, cfg.hop)
+
 
     carry = cfg.n_fft - cfg.hop
     emit_len = chunk.shape[-1]
-    raw = raw.at[:, :carry].add(state["ola_tail"])
-    divisor = jnp.tile(jnp.asarray(steady_cola_np(frame_cfg)), emit_len // cfg.hop)
-    out = raw[:, :emit_len] * divisor
+    out, new_tail = stream_istft(out_spec, frame_cfg, state["ola_tail"], emit_len)
 
     new_state = {
         "audio_tail": buf[:, -carry:],
         "net": net_state,
-        "ola_tail": raw[:, emit_len:],
+        "ola_tail": new_tail,
     }
     return new_state, pcm_out(out)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..dsp import StftConfig
-from ..dsp.pcm import fold_windows, pcm_in, resample_linear, unfold_windows
+from ..dsp.pcm import fold_windows, resample_linear, unfold_windows
 from ..nn import core
 from ..parallel.sharding import shard_hint
 from ..nn.zipformer import (
@@ -70,11 +70,6 @@ class ZipEnhancerConfig:
     @property
     def f_bins(self) -> int:
         return self.n_fft // 2 + 1  # 201
-
-    @property
-    def sub_bands(self) -> int:
-        # dense_conv_2: kernel (1,3), stride (1,2), pad (0,1) over frequency
-        return (self.f_bins + 2 - 3) // 2 + 1  # 101
 
 
 def instance_norm_tf(p, x, eps: float = 1e-5):
@@ -165,9 +160,11 @@ def downsampled_encoder(p, x, cfg: ZipEnhancerConfig, t_ds: int, f_ds: int):
 
 
 def decoder_pair(p, x, cfg: ZipEnhancerConfig):
-    """Grouped mask+phase decoders: shared-topology dense blocks run as one
-    2-group stream, sub-pixel frequency ×2 upsampling, then the mask ReLU head
-    and rectangular phase head (Export_ZipEnhancer.py:725-780,866-892)."""
+    """Mask+phase decoders: two shared-topology dense blocks (the reference
+    batches them as groups=2 convs, Export_ZipEnhancer.py:760-767 — separate
+    streams here are algebraically identical and let XLA schedule them in
+    parallel), sub-pixel frequency ×2 upsampling, then the mask ReLU head and
+    rectangular phase head (Export_ZipEnhancer.py:725-780,866-892)."""
     mx = _dense_block(p["mask_dense"], x, cfg.dense_depth)
     px = _dense_block(p["phase_dense"], x, cfg.dense_depth)
 
