@@ -94,6 +94,17 @@ def band_layout(cfg: MelBandConfig):
     return freq_indices, tuple(widths), np.maximum(counts, 1.0)
 
 
+def _width_runs(widths):
+    """Consecutive equal-width runs of the band layout: [(start, count, w)]."""
+    runs = []
+    for i, w in enumerate(widths):
+        if runs and runs[-1][2] == w:
+            runs[-1][1] += 1
+        else:
+            runs.append([i, 1, w])
+    return [tuple(r) for r in runs]
+
+
 def _attention(p, x, rope, cfg: MelBandConfig):
     n, s, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
@@ -134,15 +145,24 @@ def melband_net(p, spec, cfg: MelBandConfig):
     sel = spec[:, :, jnp.asarray(freq_idx), :]  # (B, T, S, 2)
     flat = sel.reshape(b, t, -1).astype(dtype)  # (B, T, 2S) band-major [re, im] pairs
 
-    # band split: per-band RMSNorm + Linear → (bands, B, T, dim)
+    # band split: per-band RMSNorm + Linear → (bands, B, T, dim).  Bands are
+    # contiguous equal-width RUNS (the mel layout repeats widths), so each
+    # run batches into ONE stacked matmul instead of per-band tiny GEMMs —
+    # the reference's _band_runs trick (Export_MelBandRoformer.py:556-566).
     feats = []
     off = 0
-    for i, w in enumerate(widths):
-        part = flat[..., off : off + w]
-        off += w
-        feats.append(core.dense(p["band_split"][i]["lin"],
-                                rms_norm(p["band_split"][i]["norm"], part, eps=0.0)))
-    x = jnp.stack(feats, axis=0)  # (nb, B, T, dim)
+    for i0, r, w in _width_runs(widths):
+        part = flat[..., off : off + r * w].reshape(b, t, r, w)
+        off += r * w
+        gains = jnp.stack([p["band_split"][j]["norm"]["g"] for j in range(i0, i0 + r)])
+        normed = rms_norm(None, part, eps=0.0) * gains  # (B, T, r, w)
+        wts = jnp.stack([core.as_weight(p["band_split"][j]["lin"]["w"])
+                         for j in range(i0, i0 + r)])  # (r, w, dim)
+        bias = jnp.stack([p["band_split"][j]["lin"]["b"] for j in range(i0, i0 + r)])
+        y = jnp.einsum("btrw,rwd->rbtd", normed, wts,
+                       preferred_element_type=dtype) + bias[:, None, None]
+        feats.append(y)
+    x = jnp.concatenate(feats, axis=0)  # (nb, B, T, dim)
     nb = cfg.num_bands
 
     dh = cfg.dim_head
@@ -172,9 +192,14 @@ def melband_net(p, spec, cfg: MelBandConfig):
                                 preferred_element_type=jnp.float32)
                      + lay["b"][:, None, None]).astype(dtype)
     masks = []
-    for i, w in enumerate(widths):
-        g = core.dense(p["me_out"][i], h[i])  # (B, T, 2w)
-        masks.append(g[..., :w] * jax.nn.sigmoid(g[..., w:]))  # GLU
+    for i0, r, w in _width_runs(widths):  # batched per equal-width run
+        wts = jnp.stack([core.as_weight(p["me_out"][j]["w"])
+                         for j in range(i0, i0 + r)])  # (r, inner, 2w)
+        bias = jnp.stack([p["me_out"][j]["b"] for j in range(i0, i0 + r)])
+        g = jnp.einsum("rbtd,rdk->btrk", h[i0 : i0 + r], wts,
+                       preferred_element_type=dtype) + bias[None, None]
+        m = g[..., :w] * jax.nn.sigmoid(g[..., w:])  # GLU, (B, T, r, w)
+        masks.append(m.reshape(b, t, r * w))  # band-major flatten
     mask_flat = jnp.concatenate(masks, axis=-1)  # (B, T, 2S)
     mask = mask_flat.reshape(b, t, -1, 2).astype(jnp.float32)  # f32 mask island
 

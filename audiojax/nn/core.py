@@ -333,9 +333,14 @@ def layer_norm(p, x, *, ndims: int = 1, eps: float = 1e-5):
 
 
 def rms_norm(p, x, *, eps: float = 1e-8):
-    """RMS normalisation over the last axis with optional gain."""
+    """RMS normalisation over the last axis with optional gain.
+
+    The mean-square is floored at the dtype's tiny even when ``eps=0`` so an
+    all-zero frame yields 0·rsqrt(tiny) = 0, matching the reference's
+    clamp_min(1e-12) L2 normalize (Export_MelBandRoformer.py:70-72) instead
+    of 0·inf = NaN poisoning the attention softmax."""
     ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    y = x * lax.rsqrt(ms + eps)
+    y = x * lax.rsqrt(jnp.maximum(ms + eps, jnp.finfo(x.dtype).tiny))
     if p is not None and "g" in p:
         y = y * p["g"]
     return y

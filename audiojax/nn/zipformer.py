@@ -16,8 +16,8 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
+import numpy as np
 
 from . import core
 
@@ -175,7 +175,6 @@ def simple_downsample(p, x, factor: int):
 
 
 def simple_upsample(x, factor: int):
-    n, s, c = x.shape
     return jnp.repeat(x, factor, axis=1)
 
 

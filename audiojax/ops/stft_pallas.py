@@ -70,16 +70,14 @@ def pallas_supported(cfg: StftConfig) -> bool:
     jnp path — see the ceiling note above."""
     rp = _row_pad(cfg.hop)
     k_seg = -(-cfg.n_fft // cfg.hop)
-    return cfg.hop >= 1 and k_seg * rp * 2 * cfg.f_bins * 4 <= _BASIS_SAFE_BYTES
+    return k_seg * rp * 2 * cfg.f_bins * 4 <= _BASIS_SAFE_BYTES
 
 
 def fast_stft_packed(x, cfg: StftConfig):
     """Pallas-fused STFT on TPU when the geometry allows; jnp path otherwise."""
-    import jax as _jax
-
     from ..dsp.stft import stft_packed as _jnp_stft
 
-    if (pallas_supported(cfg) and _jax.default_backend() == "tpu"
+    if (pallas_supported(cfg) and jax.default_backend() == "tpu"
             and x.ndim == 2 and x.dtype == jnp.float32):  # kernel contract
         return stft_packed_pallas(x, cfg)
     return _jnp_stft(x, cfg)
@@ -87,11 +85,9 @@ def fast_stft_packed(x, cfg: StftConfig):
 
 def fast_istft_packed(spec, cfg: StftConfig, out_length: int | None = None):
     """Pallas-fused ISTFT on TPU when the geometry allows; jnp path otherwise."""
-    import jax as _jax
-
     from ..dsp.stft import istft_packed as _jnp_istft
 
-    if (pallas_supported(cfg) and _jax.default_backend() == "tpu"
+    if (pallas_supported(cfg) and jax.default_backend() == "tpu"
             and spec.ndim == 3 and spec.dtype == jnp.float32):  # kernel contract
         return istft_packed_pallas(spec, cfg, out_length=out_length)
     return _jnp_istft(spec, cfg, out_length)
@@ -284,6 +280,12 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
         # reference semantics (SDAEC/STFT_Process.py:178): exactly out_length
         # samples from out_start, extending into the right centre-pad region
         end = start + out_length
+        if end > raw_len:
+            # same explicit contract as dsp.istft_packed: a silent short
+            # return would surface as an opaque broadcast error at y * inv
+            raise ValueError(
+                f"out_length={out_length} exceeds the overlap-added signal: "
+                f"{n_t} frames cover only {raw_len - start} output samples")
     else:
         end = raw_len - start
     y = raw[:, start:end]

@@ -82,15 +82,18 @@ def make_mesh(n_devices: int | None = None, tp: int = 1, devices=None) -> Mesh:
     """Build a ``(dp, tp)`` mesh over ``n_devices`` (default: all devices)."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            if len(devices) < n_devices:
-                raise ValueError(
-                    f"requested a {n_devices}-device mesh but only "
-                    f"{len(devices)} JAX device(s) are visible "
-                    f"({devices!r}); for a virtual CPU mesh set JAX_PLATFORMS=cpu "
-                    f"and --xla_force_host_platform_device_count before jax init"
-                )
-            devices = devices[:n_devices]
+    if n_devices is not None:
+        # validate against EXPLICIT device lists too — silently using all of
+        # a passed list when the caller sized work for n_devices produces
+        # confusing downstream divisibility errors
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are visible "
+                f"({devices!r}); for a virtual CPU mesh set JAX_PLATFORMS=cpu "
+                f"and --xla_force_host_platform_device_count before jax init"
+            )
+        devices = devices[:n_devices]
     n = len(devices)
     if n % tp:
         raise ValueError(f"{n} devices not divisible by tp={tp}")
@@ -109,14 +112,21 @@ def shard_batch(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P("dp")))
 
 
-def sharded_model_fn(mesh: Mesh, model_fn, *, spectral_tp: bool = False):
+def sharded_model_fn(mesh: Mesh, model_fn):
     """jit ``model_fn(params, audio)`` with dp-sharded batch I/O.
 
-    With ``spectral_tp`` the callee is expected to apply its own
-    ``with_sharding_constraint``s on spectral intermediates (frequency axis →
-    ``tp``); without it, tp>1 still works — XLA simply keeps those axes
-    replicated.
+    The model traces under :func:`spmd_mesh`, so any in-model
+    :func:`shard_hint` partition points (ZipEnhancer/Mel-Band/MossFormer
+    tp/sp annotations) bake into the lowered computation; on a tp=1 mesh
+    they degrade to replicated, costing nothing.
     """
     in_s = (NamedSharding(mesh, P()), NamedSharding(mesh, P("dp")))
     out_s = NamedSharding(mesh, P("dp"))
-    return jax.jit(model_fn, in_shardings=in_s, out_shardings=out_s)
+
+    def traced(params, audio):
+        # re-enter per call: jit may re-trace later (new shapes) on a thread
+        # where no spmd_mesh context is active
+        with spmd_mesh(mesh):
+            return model_fn(params, audio)
+
+    return jax.jit(traced, in_shardings=in_s, out_shardings=out_s)
