@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp import StftConfig, istft_packed, stft_packed
-from ..dsp.pcm import fold_windows, pcm_in, pcm_out, resample_linear, unfold_windows
+from ..dsp.pcm import pcm_in, pcm_out, resample_linear
 from ..nn import core
 from ..nn.cfb import cfb, ch_lstm_f, ch_lstm_t, init_cfb, init_ch_lstm_f, init_ch_lstm_t, init_iccrn_ln, iccrn_layer_norm
 
@@ -99,8 +99,9 @@ def deep_echo_net(p, mix, far, cfg: DeepEchoConfig, state=None):
     if state is None:
         return packed
     far_full = far if hist is None else jnp.concatenate([hist, far], axis=1)
+    # slice by start: -(order-1) with order=1 would be -0: (whole history)
     new_state = {"mid": mid_state, "out": out_state,
-                 "far_hist": far_full[:, -(cfg.echo_order - 1):]}
+                 "far_hist": far_full[:, far_full.shape[1] - (cfg.echo_order - 1):]}
     return packed, new_state
 
 
@@ -112,7 +113,6 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     if cfg.demean:
         x = x - jnp.mean(x, axis=-1, keepdims=True)
 
-    batch = near_end.shape[0]
     model_len = x.shape[-1]
     if cfg.fold_window:
         raise ValueError("in-graph batch-fold is unsupported for odd-NFFT models; "
@@ -133,9 +133,6 @@ def deep_echo_forward(params, near_end, far_end, cfg: DeepEchoConfig = DeepEchoC
     to_cl = lambda s: jnp.stack([s[..., :fb], s[..., fb:]], axis=-1)
     out = deep_echo_net(params, to_cl(spec[:nb]), to_cl(spec[nb:]), cfg)
     y = fast_istft_packed(out, cfg.stft, out_length=x.shape[-1])
-
-    if cfg.fold_window:
-        y = unfold_windows(y, batch)
     y = y[..., :model_len]
     if cfg.out_sample_rate != cfg.sample_rate:
         y = resample_linear(y, model_len * cfg.out_sample_rate // cfg.sample_rate)

@@ -141,7 +141,13 @@ def sr_masknet(p, mel, cfg: MossFormerSrConfig):
     """(B, T, n_mels) log-mel → (B, T, n_mels) enhanced mel for the generator."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        # cast only the masknet's own weights: p is the FULL params dict and
+        # the HiFi-GAN generator (its largest subtree) deliberately runs f32
+        # from the original dict — bf16 copies of it would be pure waste
+        p = {k: (jax.tree.map(lambda a: a.astype(dtype)
+                              if a.dtype == jnp.float32 else a, v)
+                 if k != "gen" else v)
+             for k, v in p.items()}
         mel = mel.astype(dtype)
     x = group_norm_all(p["front_norm"], mel)
     x = core.dense(p["front"], x)
@@ -172,13 +178,13 @@ def sr_masknet(p, mel, cfg: MossFormerSrConfig):
 def mossformer_sr_forward(params, audio, cfg: MossFormerSrConfig = MossFormerSrConfig()):
     """int16 (B, L) @ 16 kHz → int16 (B, 3L) @ 48 kHz."""
     in_len = audio.shape[-1]
-    # align so 3L is a hop multiple (mel frames ↔ generator output line up)
-    align = cfg.hop // np.gcd(cfg.hop, cfg.upsample_ratio)
-    padded = -(-in_len // align) * align
-    if padded != in_len:
-        audio = jnp.pad(audio, [(0, 0), (0, padded - in_len)])
-
-    up = upsample_sinc(audio, cfg)  # (B, 3L') normalised
+    # NO input alignment pad: the reference frames the raw 3L upsample
+    # (static_frames = floor((3L + 2·mel_pad − nfft)/hop) + 1,
+    # Export_MossFormer_SR.py:138-146) and reflect-extends the generator
+    # output by gen_pad = 3L − frames·hop below; zero-padding the input
+    # instead would perturb the group-norm statistics and attention of
+    # every frame, not just the tail.
+    up = upsample_sinc(audio, cfg)  # (B, 3L) normalised
     model_len = up.shape[-1]
 
     # HiFi-GAN mel framing: reflect pad (nfft-hop)/2, center=False STFT
