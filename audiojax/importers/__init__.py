@@ -42,6 +42,7 @@ _IMPORTERS = {
     "dfsmn": import_dfsmn,
     "nkf_aec": import_nkf,
     "melband_roformer": import_melband,
+    "melband_roformer_stereo": import_melband,
     "sdaec": import_sdaec,
     "deep_echo": import_deep_echo,
     # H-GTCRN's GTCRN-IVA network shares the upstream GTCRN module layout
@@ -59,8 +60,11 @@ _IMPORTERS = {
     "zipenhancer": import_zipenhancer,
 }
 
-# torch bookkeeping buffers that carry no weights — ignored, not drift
-_IGNORED = re.compile(r"(num_batches_tracked|running_mean|running_var)$|^_metadata")
+# torch bookkeeping buffers that carry no weights — ignored, not drift.
+# BN running_mean/running_var are NOT here: the fusion recipes consume them
+# (fold into conv/linear), so an unread running stat means a recipe fused a
+# BN's weight/bias but forgot its statistics — that must abort, not pass.
+_IGNORED = re.compile(r"num_batches_tracked$|^_metadata")
 
 
 def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path=None, **kw):
@@ -73,8 +77,6 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
     leftover = [k for k in tracker.unconsumed if not _IGNORED.search(k)]
     ignored = [k for k in tracker.unconsumed if _IGNORED.search(k)]
-    # BN running stats ARE consumed by fusion recipes; only unread ones land
-    # in `ignored`.
     report = {
         "model": model_name,
         "checkpoint_keys": len(tracker),
@@ -97,7 +99,7 @@ def import_checkpoint(model_name: str, ckpt, *, strict: bool = True, report_path
 
 
 __all__ = ["common", "import_checkpoint", "import_gtcrn", "import_dfsmn",
-           "import_nkf", "import_melband", "import_sdaec", "import_deep_echo",
+           "import_nkf", "import_melband", "import_sdaec", "import_deep_echo", "import_h_gtcrn",
            "import_dfsmn_aec", "import_ul_unas", "import_mossformer2_se",
            "import_mossformer2_ss", "import_mossformer_sr",
            "import_mossformergan_se", "import_zipenhancer"]

@@ -72,7 +72,8 @@ def dfsmn_mask_net(p, fbank, state=None, *, return_trunk: bool = False):
     /root/reference/DFSMN_AEC/Export_DFSMN_AEC.py:1318-1320).
     """
     x = jax.nn.relu(core.dense(p["lin1"], fbank))
-    lorder = p["layers"][0]["mem"]["w"].shape[0]
+    w0 = p["layers"][0]["mem"]["w"]
+    lorder = (w0["q8"] if core.is_q8(w0) else w0).shape[0]  # q8dyn artifacts
     new_state = []
     for i, layer in enumerate(p["layers"]):
         f1 = jax.nn.relu(core.dense(layer["lin"], x))
@@ -86,7 +87,8 @@ def dfsmn_mask_net(p, fbank, state=None, *, return_trunk: bool = False):
         # (p1 + conv(p1)) into the current-frame tap
         # (/root/reference/DFSMN/Export_DFSMN.py:165-166)
         mem = core.conv1d(layer["mem"], mem_in, groups=p1.shape[-1])
-        new_state.append(mem_in[:, -(lorder - 1) :])
+        # slice by start: -(lorder-1) with lorder=1 would keep the WHOLE buffer
+        new_state.append(mem_in[:, mem_in.shape[1] - (lorder - 1):])
         x = x + mem
     mask = jax.nn.sigmoid(core.dense(p["lin2"], x))
     if return_trunk:
@@ -102,6 +104,12 @@ def dfsmn_forward(params, audio, cfg: DfsmnConfig = DfsmnConfig()):
 
     batch = x.shape[0]
     model_len = x.shape[-1]
+    if cfg.fold_window and (cfg.fold_window % cfg.hop or cfg.fold_window < cfg.n_fft):
+        raise ValueError(
+            f"fold_window={cfg.fold_window} must be a hop ({cfg.hop}) multiple "
+            f">= n_fft ({cfg.n_fft}): the snip-edges ISTFT emits frames*hop "
+            f"samples per window and a misaligned fold silently drops samples "
+            f"at every window boundary")
     align = cfg.fold_window if cfg.fold_window else cfg.hop
     padded = max(-(-model_len // align) * align, cfg.n_fft)
     if padded != model_len:

@@ -265,7 +265,7 @@ def _dense_fsmn_block(p, x, depth: int, lorder: int):
     return out
 
 
-def _decoder(p, x, cfg: MossFormerGanConfig, out_ch: int):
+def _decoder(p, x, cfg: MossFormerGanConfig):
     """Dense-FSMN block → sub-pixel freq ×2 → head convs."""
     h = _dense_fsmn_block(p["dense"], x, cfg.dense_depth, cfg.lorder)
     h = core.conv2d(p["sp_conv"], h, padding=(0, 1))  # (B,T,F',2C)
@@ -300,14 +300,14 @@ def mossformergan_net(p, mag_c, spec_c, cfg: MossFormerGanConfig):
         x = triple_attention(blk["attn"], x, cfg)
 
     # mask decoder → (B, T, F) mask
-    m = _decoder(p["mask_dec"], x, cfg, 1)
+    m = _decoder(p["mask_dec"], x, cfg)
     m = core.conv2d(p["mask_conv1"], m)
     m = core.prelu(p["mask_act"], instance_norm_tf(p["mask_norm"], m))
     m = core.conv2d(p["mask_final"], m, padding=(0, 0))[..., 0]  # kernel (1,2): F→201
     mask = jnp.where(m >= 0, m, p["mask_out_alpha"] * m)
 
     # complex decoder → (B, T, F, 2)
-    cx = _decoder(p["cplx_dec"], x, cfg, 2)
+    cx = _decoder(p["cplx_dec"], x, cfg)
     cx = core.prelu(p["cplx_act"], instance_norm_tf(p["cplx_norm"], cx))
     cplx = core.conv2d(p["cplx_final"], cx, padding=(0, 0))  # (B, T, 201, 2)
 
@@ -418,10 +418,12 @@ def _init_path(key, cfg):
         "refold": core.init_conv1d(ks[6], cfg.emb_ks, cfg.uv_channels, c),
         "mf": _init_gau(ks[7], cfg),
         "se": {
-            "avg1": core.init_dense(ks[0], c, c // 4),
-            "avg2": core.init_dense(ks[1], c // 4, c),
-            "max1": core.init_dense(ks[2], c, c // 4),
-            "max2": core.init_dense(ks[3], c // 4, c),
+            # fresh subkeys — reusing ks[0..3] would correlate the SE block
+            # with the unfold/uv/fsmn weights
+            "avg1": core.init_dense(jax.random.fold_in(ks[0], 101), c, c // 4),
+            "avg2": core.init_dense(jax.random.fold_in(ks[1], 102), c // 4, c),
+            "max1": core.init_dense(jax.random.fold_in(ks[2], 103), c, c // 4),
+            "max2": core.init_dense(jax.random.fold_in(ks[3], 104), c // 4, c),
         },
     }
 

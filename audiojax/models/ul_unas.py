@@ -274,9 +274,7 @@ def ul_unas_forward(params, audio, cfg: UlUnasConfig = UlUnasConfig()):
     """int16 PCM (B, L) → denoised int16 PCM (no DC removal — reference parity,
     Export_UL_UNAS.py REMOVE_DC_OFFSET=False)."""
     x = pcm_in(audio)
-    if cfg.in_sample_rate > cfg.sample_rate:
-        x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
-    elif cfg.in_sample_rate < cfg.sample_rate:
+    if cfg.in_sample_rate != cfg.sample_rate:
         x = resample_linear(x, x.shape[-1] * cfg.sample_rate // cfg.in_sample_rate)
 
     batch = x.shape[0]

@@ -116,6 +116,8 @@ def main(argv=None):
                     help="activation compute dtype, recorded in the manifest")
     ap.add_argument("--no-smoke", action="store_true", help="skip the inference smoke test")
     args = ap.parse_args(argv)
+    if args.plan and args.plan not in PLANS:
+        ap.error(f"unknown plan {args.plan!r}; available: {sorted(PLANS)}")
     plan = PLANS[args.plan] if args.plan else None
     report = export_artifact(args.model, args.checkpoint, args.out,
                              plan=plan, smoke=not args.no_smoke,
