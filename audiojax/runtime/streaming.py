@@ -58,13 +58,14 @@ class StreamingSession:
 class _Lane:
     """Per-stream bookkeeping inside a StreamingServer batch lane."""
 
-    __slots__ = ("residuals", "pushed", "raw_out", "aligned_out")
+    __slots__ = ("residuals", "pushed", "raw_out", "aligned_out", "flushed")
 
     def __init__(self, n_inputs: int):
         self.residuals = [np.zeros(0, np.int16) for _ in range(n_inputs)]
         self.pushed = 0
         self.raw_out = 0
         self.aligned_out = 0
+        self.flushed = False
 
 
 class StreamingServer:
@@ -138,7 +139,8 @@ class StreamingServer:
                 mask = active.reshape((1,) * axis + (k,) + (1,) * (nv.ndim - axis - 1))
                 kept.append(jnp.where(mask, nv, ov).reshape(n.shape))
             state = jax.tree_util.tree_unflatten(self._treedef, kept)
-            out = jnp.where(active[:, None], out, jnp.zeros_like(out))
+            out_mask = active.reshape((-1,) + (1,) * (out.ndim - 1))
+            out = jnp.where(out_mask, out, jnp.zeros_like(out))
             return state, out
 
         self._lane_view = _lane_view
@@ -232,9 +234,19 @@ class StreamingServer:
         {sid: (chunk, far_chunk)} for AEC.  Returns {sid: ready samples} for
         every lane that produced output this call.
         """
-        for sid, chunks in chunks_by_sid.items():
-            if not isinstance(chunks, (tuple, list)):
-                chunks = (chunks,)
+        normalized = {
+            sid: (chunks if isinstance(chunks, (tuple, list)) else (chunks,))
+            for sid, chunks in chunks_by_sid.items()
+        }
+        # validate EVERYTHING before buffering anything: a mid-loop failure
+        # must not leave earlier lanes double-buffered on the caller's retry
+        for sid, chunks in normalized.items():
+            lane = self._require(sid)
+            if lane.flushed:
+                raise ValueError(f"stream {sid} was flushed; close() it first")
+            if len(chunks) != self.n_inputs:
+                raise ValueError(f"push expects {self.n_inputs} chunk(s), got {len(chunks)}")
+        for sid, chunks in normalized.items():
             self._buffer(sid, chunks)
         pending: dict[int, list] = {}
         while True:
@@ -258,6 +270,11 @@ class StreamingServer:
 
     def _buffer(self, sid: int, chunks) -> "_Lane":
         lane = self._require(sid)
+        if lane.flushed:
+            raise ValueError(
+                f"stream {sid} was flushed: its state consumed the zero "
+                f"padding and further pushes would be time-misaligned; "
+                f"close() the lane and open() a fresh stream")
         if len(chunks) != self.n_inputs:
             raise ValueError(f"push expects {self.n_inputs} chunk(s), got {len(chunks)}")
         arrs = [np.asarray(c, np.int16).reshape(-1) for c in chunks]
@@ -284,6 +301,8 @@ class StreamingServer:
             outs.append(self._tick({sid: blocks})[sid])
         out = self._align(lane, np.concatenate(outs)) if outs else np.zeros(0, np.int16)
         lane.aligned_out = lane.pushed
+        lane.flushed = True  # zero padding consumed by the model state:
+        # further pushes would emit time-shifted audio — close() the lane
         return out[:owed]
 
     # ── internals ────────────────────────────────────────────────────────

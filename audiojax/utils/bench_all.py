@@ -192,10 +192,11 @@ def main(argv=None):
             row = {"model": name, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(row), flush=True)
         rows.append(row)
-        if args.no_bf16 or "error" in row:
+        if "error" in row:
             continue
         cfg = spec.make_config()
-        if registry.has_compute_dtype(cfg):
+        # --no-bf16 skips only the bf16 variants, NOT the --quant rows
+        if not args.no_bf16 and registry.has_compute_dtype(cfg):
             try:
                 row = bench_model(name, iters=args.iters, compute_dtype="bfloat16")
             except Exception as e:

@@ -137,3 +137,45 @@ def test_lane_isolation_all_streaming_models(name):
     params = spec.init_params(jax.random.PRNGKey(1), cfg)
     srv = StreamingServer(spec, params, cfg, max_streams=3, block_hops=1, jit=False)
     srv.verify_lane_isolation()
+
+
+def test_push_after_flush_rejected():
+    """flush() consumes zero padding into the model state; a later push on
+    the same lane would emit time-shifted audio and must raise."""
+    import pytest
+
+    from audiojax.runtime import registry
+    from audiojax.runtime.streaming import StreamingServer
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    srv = StreamingServer(spec, params, cfg, max_streams=2, block_hops=1)
+    sid = srv.open()
+    srv.push(sid, np.zeros(cfg.hop * 4, np.int16))
+    srv.flush(sid)
+    with pytest.raises(ValueError, match="flushed"):
+        srv.push(sid, np.zeros(cfg.hop, np.int16))
+    srv.close(sid)
+    sid2 = srv.open()  # lane is reusable after close
+    out = srv.push(sid2, np.zeros(cfg.hop * 4, np.int16))
+    assert out.dtype == np.int16
+
+
+def test_push_many_validates_before_buffering():
+    """A bad entry in push_many must not leave earlier lanes buffered (a
+    retry would double-buffer their audio)."""
+    import pytest
+
+    from audiojax.runtime import registry
+    from audiojax.runtime.streaming import StreamingServer
+
+    spec = registry.get("gtcrn")
+    cfg = spec.make_config()
+    params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    srv = StreamingServer(spec, params, cfg, max_streams=2, block_hops=1)
+    a, b = srv.open(), srv.open()
+    chunk = np.zeros(cfg.hop, np.int16)
+    with pytest.raises(ValueError, match="expects 1 chunk"):
+        srv.push_many({a: chunk, b: (chunk, chunk)})
+    assert srv._lanes[a].residuals[0].shape[0] == 0, "lane a was buffered"
