@@ -50,7 +50,7 @@ def _clip(shape, rate, seed=0):
 
 
 def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
-                quant: str | None = None) -> dict:
+                quant: str | None = None, cfg_replace: dict | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +62,8 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
         if not registry.has_compute_dtype(cfg):
             raise ValueError(f"{name} has no compute_dtype knob")
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    if cfg_replace:  # smoke-mode shrink (bench.py --smoke); same code path
+        cfg = dataclasses.replace(cfg, **cfg_replace)
     man = spec.make_manifest(cfg)
     rc = man.runtime_config()
     w, ch, k = rc["INPUT_AUDIO_LENGTH"], rc["INPUT_CHANNELS"], rc["NUM_AUDIO_INPUTS"]

@@ -7,12 +7,17 @@ batch-folded into 1.5 s windows — the reference's fold policy for long audio
 the reference's i3-12300 ORT-CPU rows (BASELINE.md): ZipEnhancer 0.32,
 GTCRN 0.0036.  vs_baseline = baseline/ours (>1 ⇒ faster).
 
+``--smoke`` runs the SAME code path with tiny model depths and 1–2 iters so a
+CPU test can execute every line (guard against shipping a broken scoreboard;
+the numbers it prints are meaningless).
+
 Timing note: under the axon tunnel ``block_until_ready`` is async; a host
 transfer is the only true sync, so executions are chained (output feeds
 input) and synced once.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -27,62 +32,67 @@ def _bench_model(fn, params, audio, iters: int) -> float:
     return measure_rtf(fn, params, audio, sample_rate=16000, iters=iters)["latency_s"]
 
 
-def main():
+def run(smoke: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     from audiojax.models.gtcrn import GtcrnConfig, init_gtcrn, make_gtcrn
     from audiojax.models.zipenhancer import ZipEnhancerConfig, init_zipenhancer, make_zipenhancer
 
-    seconds = 60
+    seconds = 3 if smoke else 60
+    iters_big = 2 if smoke else 20
+    iters_small = 2 if smoke else 30
 
-    def clip(total):
+    def clip(total, rate=16000):
         # one canonical bench stimulus (bench_all._clip) for comparable rows
-        return jnp.asarray(_clip((1, total), 16000))
+        return jnp.asarray(_clip((1, total), rate))
 
     results = {}
 
     zcfg = ZipEnhancerConfig(fold_window=24000)
-    total = (seconds * 16000 // zcfg.fold_window) * zcfg.fold_window
+    if smoke:
+        zcfg = dataclasses.replace(zcfg, dense_depth=1, encoder_downsample=((1, 1),))
+    total = max(seconds * 16000 // zcfg.fold_window, 1) * zcfg.fold_window
     zfn = jax.jit(make_zipenhancer(zcfg))
     zparams = init_zipenhancer(jax.random.PRNGKey(0), zcfg)
-    elapsed = _bench_model(zfn, zparams, clip(total), iters=20)
+    elapsed = _bench_model(zfn, zparams, clip(total), iters=iters_big)
     results["zipenhancer"] = elapsed / (total / 16000.0)
 
-    zcfg_bf16 = ZipEnhancerConfig(fold_window=24000, compute_dtype=jnp.bfloat16)
+    zcfg_bf16 = dataclasses.replace(zcfg, compute_dtype="bfloat16")
     zfn_bf16 = jax.jit(make_zipenhancer(zcfg_bf16))
-    elapsed_bf16 = _bench_model(zfn_bf16, zparams, clip(total), iters=20)
+    elapsed_bf16 = _bench_model(zfn_bf16, zparams, clip(total), iters=iters_big)
     results["zipenhancer_bf16"] = elapsed_bf16 / (total / 16000.0)
 
     gcfg = GtcrnConfig(fold_window=24064)
-    total_g = (seconds * 16000 // gcfg.fold_window) * gcfg.fold_window
+    total_g = max(seconds * 16000 // gcfg.fold_window, 1) * gcfg.fold_window
     gfn = jax.jit(make_gtcrn(gcfg))
     gparams = init_gtcrn(jax.random.PRNGKey(0), gcfg)
-    elapsed_g = _bench_model(gfn, gparams, clip(total_g), iters=30)
+    elapsed_g = _bench_model(gfn, gparams, clip(total_g), iters=iters_small)
     results["gtcrn"] = elapsed_g / (total_g / 16000.0)
 
     # MossFormer2-SE-48K, bf16 compute (2 s window, the reference geometry)
-    import dataclasses
-
     from audiojax.models.mossformer2_se import (MossFormer2SeConfig, init_mossformer2_se,
                                                 make_mossformer2_se)
 
-    mcfg = dataclasses.replace(MossFormer2SeConfig(), compute_dtype="bfloat16")
+    mcfg = MossFormer2SeConfig(compute_dtype="bfloat16")
+    if smoke:
+        mcfg = dataclasses.replace(mcfg, depth=2)
     mfn = jax.jit(make_mossformer2_se(mcfg))
     mparams = init_mossformer2_se(jax.random.PRNGKey(0), mcfg)
-    t48 = np.arange(96000) / 48000
-    mclip = jnp.asarray(((0.3 * np.sin(2 * np.pi * 440 * t48)
-                          + 0.05 * rng.standard_normal(96000)) * 20000).astype(np.int16)[None])
-    _bench_model(mfn, mparams, mclip, iters=5)  # extra settle pass (tunnel warmup)
-    elapsed_m = _bench_model(mfn, mparams, mclip, iters=15)
+    mclip = clip(96000, rate=48000)
+    _bench_model(mfn, mparams, mclip, iters=2 if smoke else 5)  # extra settle (tunnel warmup)
+    elapsed_m = _bench_model(mfn, mparams, mclip, iters=2 if smoke else 15)
     results["m2se_bf16"] = elapsed_m / 2.0
 
     # showcase rows from the full-zoo sweep geometry (bench_all): the two
     # heaviest reference models, per-chunk at their serving geometry
     from audiojax.utils.bench_all import bench_model
 
-    ss_row = bench_model("mossformer2_ss", iters=20, compute_dtype="bfloat16")
-    mb_row = bench_model("melband_roformer", iters=20, compute_dtype="bfloat16")
+    shrink = {"depth": 1} if smoke else None
+    ss_row = bench_model("mossformer2_ss", iters=iters_big, compute_dtype="bfloat16",
+                         cfg_replace=shrink)
+    mb_row = bench_model("melband_roformer", iters=iters_big, compute_dtype="bfloat16",
+                         cfg_replace=shrink)
     results["m2ss_bf16"] = ss_row["rtf"]
     results["m2ss_vs_baseline"] = ss_row["vs_baseline"]  # baselines live in bench_all
     results["melband_bf16"] = mb_row["rtf"]
@@ -95,13 +105,14 @@ def main():
     scfg = GtcrnConfig()
     step = jax.jit(gtcrn_stream_step, static_argnames="cfg")
     block = 4 * scfg.hop  # 64 ms
-    n_blocks = 150
+    n_blocks = 4 if smoke else 150
+    settle = 2 if smoke else 12
     sparams = init_gtcrn(jax.random.PRNGKey(0), scfg)
     chunks = [jax.device_put(clip(block)) for _ in range(n_blocks)]
     state = gtcrn_stream_init(scfg)
     state, out = step(sparams, state, chunks[0], scfg)  # compile
     np.asarray(out)
-    for chnk in chunks[:12]:  # settle: the tunnel pays ~30 ms/call for the
+    for chnk in chunks[:settle]:  # settle: the tunnel pays ~30 ms/call for the
         state, out = step(sparams, state, chnk, scfg)  # first ~10 executions
     np.asarray(out[0, :8])
     t0 = time.perf_counter()
@@ -110,30 +121,37 @@ def main():
     np.asarray(out)  # true sync
     results["gtcrn_stream"] = (time.perf_counter() - t0) / (n_blocks * block / 16000.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ZipEnhancer RTF (60s clip, 1.5s fold windows, f32)",
-                "value": round(results["zipenhancer"], 6),
-                "unit": "RTF",
-                "vs_baseline": round(BASELINES["zipenhancer"] / results["zipenhancer"], 2),
-                "zipenhancer_bf16_rtf": round(results["zipenhancer_bf16"], 6),
-                "zipenhancer_bf16_vs_baseline": round(
-                    BASELINES["zipenhancer"] / results["zipenhancer_bf16"], 2),
-                "gtcrn_rtf": round(results["gtcrn"], 6),
-                "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
-                "gtcrn_stream_rtf_64ms_blocks": round(results["gtcrn_stream"], 6),
-                "mossformer2_se_bf16_rtf": round(results["m2se_bf16"], 6),
-                "mossformer2_se_bf16_vs_baseline": round(
-                    BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
-                "mossformer2_ss_bf16_rtf": round(results["m2ss_bf16"], 6),
-                "mossformer2_ss_bf16_vs_baseline": results["m2ss_vs_baseline"],
-                "melband_bf16_rtf": round(results["melband_bf16"], 6),
-                "melband_bf16_vs_baseline": results["melband_vs_baseline"],
-                "chip": str(jax.devices()[0]),
-            }
-        )
-    )
+    return {
+        "metric": "ZipEnhancer RTF (60s clip, 1.5s fold windows, f32)",
+        "value": round(results["zipenhancer"], 6),
+        "unit": "RTF",
+        "vs_baseline": round(BASELINES["zipenhancer"] / results["zipenhancer"], 2),
+        "zipenhancer_bf16_rtf": round(results["zipenhancer_bf16"], 6),
+        "zipenhancer_bf16_vs_baseline": round(
+            BASELINES["zipenhancer"] / results["zipenhancer_bf16"], 2),
+        "gtcrn_rtf": round(results["gtcrn"], 6),
+        "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
+        "gtcrn_stream_rtf_64ms_blocks": round(results["gtcrn_stream"], 6),
+        "mossformer2_se_bf16_rtf": round(results["m2se_bf16"], 6),
+        "mossformer2_se_bf16_vs_baseline": round(
+            BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
+        "mossformer2_ss_bf16_rtf": round(results["m2ss_bf16"], 6),
+        "mossformer2_ss_bf16_vs_baseline": results["m2ss_vs_baseline"],
+        "melband_bf16_rtf": round(results["melband_bf16"], 6),
+        "melband_bf16_vs_baseline": results["melband_vs_baseline"],
+        "smoke": smoke,
+        "chip": str(jax.devices()[0]),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-config CPU sanity run exercising every bench line")
+    args = ap.parse_args(argv)
+    print(json.dumps(run(smoke=args.smoke)))
 
 
 if __name__ == "__main__":

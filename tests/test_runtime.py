@@ -377,15 +377,22 @@ def test_streaming_session_two_input_aec():
     far = (rng.standard_normal(total) * 6000).astype(np.int16)
 
     sess = StreamingSession(spec, params, cfg, jit=False)
-    parts = [sess.push(near[:700], far[:700]), sess.push(near[700:], far[700:]), sess.flush()]
-    out = np.concatenate(parts)
-    assert out.shape == (total,)
-    assert np.isfinite(out.astype(np.float64)).all()
+    parts = [sess.push(near[:700], far[:700])]
 
+    # input-contract checks happen on a live (un-flushed) lane
     with pytest.raises(ValueError, match="expects 2 chunk"):
         sess.push(near[:100])
     with pytest.raises(ValueError, match="equal length"):
         sess.push(near[:100], far[:99])
+
+    parts += [sess.push(near[700:], far[700:]), sess.flush()]
+    out = np.concatenate(parts)
+    assert out.shape == (total,)
+    assert np.isfinite(out.astype(np.float64)).all()
+
+    # flush() consumed zero padding: further pushes would be time-misaligned
+    with pytest.raises(ValueError, match="was flushed"):
+        sess.push(near[:100], far[:100])
 
 
 def test_example_audio_paths_exist():
