@@ -49,6 +49,10 @@ class Plan:
     q8_min_size: int = 4096
     fp32_block: tuple[str, ...] = ()  # regexes over leaf paths kept f32 under bf16
     notes: str = ""
+    # measured below the repo's 40 dB output-SNR acceptance gate (or otherwise
+    # not recommended for production): apply_plan warns so a user can't pick
+    # a below-gate plan silently
+    experimental: bool = False
 
     def __post_init__(self):
         if self.quantize not in _QUANT_MODES:
@@ -71,6 +75,11 @@ PLANS: dict[str, Plan] = {
         "q8dyn", quantize="q8dyn",
         notes="dynamic-activation int8 matmuls on the MXU (true DYNAMIC_Q8 analog); "
         "dense weights stay int8 at run time, convs dequantize fused",
+        # measured on Mel-Band: 32.3 dB vs f32 — BELOW the 40 dB acceptance
+        # gate — and slower than f32 on v5e (README quant table); mirrors the
+        # reference's own warning that dynamic quantization hurts most models
+        # (/root/reference/README.md:93)
+        experimental=True,
     ),
     "bf16": Plan("bf16", compute_dtype="bf16", notes="weight-only bf16 storage"),
     "melband_roformer": Plan(
@@ -102,6 +111,16 @@ def apply_plan(params, plan: Plan):
     from ..utils.quantize import quantize_tree, quantized_bytes
 
     audit = {"plan": dataclasses.asdict(plan)}
+    if plan.experimental:
+        import warnings
+
+        warnings.warn(
+            f"plan {plan.name!r} is EXPERIMENTAL: measured output SNR falls below "
+            f"the 40 dB acceptance gate on at least one family ({plan.notes}); "
+            f"prefer the recommended plan from plan_for(<model>)",
+            stacklevel=2,
+        )
+        audit["experimental"] = True
     if plan.quantize in ("q8f32", "q8dyn"):  # identical artifact; serving differs
         out = quantize_tree(params, min_size=plan.q8_min_size)
         qb, fb = quantized_bytes(out)

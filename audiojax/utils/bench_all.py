@@ -208,7 +208,11 @@ def main(argv=None):
         if args.quant:
             from ..runtime.optimize import plan_for
 
-            if plan_for(name).quantize != "none":
+            # an explicit --models selection benches the requested quant rows
+            # regardless of the recommended plan (e.g. the q8f32 artifact-size
+            # sweep over the big-dense families); the default full sweep only
+            # quantizes where the reference recommends it (Mel-Band)
+            if args.models or plan_for(name).quantize != "none":
                 for q in args.quant.split(","):
                     try:
                         row = bench_model(name, iters=args.iters, quant=q)

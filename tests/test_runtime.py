@@ -246,6 +246,24 @@ def test_optimize_plans_fail_closed():
         apply_plan(params, Plan("bad", quantize="q8f32", q8_min_size=1 << 20))
 
 
+def test_experimental_plan_warns_at_apply_time():
+    """q8dyn measured 32.3 dB vs f32 on Mel-Band — below the 40 dB gate — so
+    applying it must warn (a user can't pick a below-gate plan silently)."""
+    import warnings
+
+    from audiojax.runtime import PLANS, apply_plan
+
+    assert PLANS["q8dyn"].experimental
+    params = {"lin": {"w": jax.numpy.ones((128, 128))}}
+    with pytest.warns(UserWarning, match="EXPERIMENTAL"):
+        out, report = apply_plan(params, PLANS["q8dyn"])
+    assert report["experimental"] is True
+    # the recommended plans stay warning-free
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        apply_plan(params, PLANS["q8f32"])
+
+
 def test_optimize_block_list_keeps_f32():
     from audiojax.runtime import Plan, apply_plan
 
