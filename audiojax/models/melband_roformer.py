@@ -140,7 +140,7 @@ def melband_net(p, spec, cfg: MelBandConfig):
     freq_idx, widths, counts = band_layout(cfg)
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        p = core.cast_f32_tree(p, dtype)  # idempotent on pre-cast trees
     b, t, fc, _ = spec.shape
     sel = spec[:, :, jnp.asarray(freq_idx), :]  # (B, T, S, 2)
     flat = sel.reshape(b, t, -1).astype(dtype)  # (B, T, 2S) band-major [re, im] pairs

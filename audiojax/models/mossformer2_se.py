@@ -91,7 +91,7 @@ def mossformer2_se_net(p, fbank, cfg: MossFormer2SeConfig):
     """(B, T, 180) fbank+deltas → (B, T, 961) ReLU mask."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        p = core.cast_f32_tree(p, dtype)  # idempotent on pre-cast trees
         fbank = fbank.astype(dtype)
     x = group_norm_all(p["in_norm"], fbank)
     x = core.dense(p["encoder"], x)  # 180 → 512

@@ -76,7 +76,7 @@ def mossformer2_ss_net(p, audio_normed, cfg: MossFormer2SsConfig):
     """normalised audio (B, L) → separated waves (B, spks, L_out)."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        p = core.cast_f32_tree(p, dtype)  # idempotent on pre-cast trees
         audio_normed = audio_normed.astype(dtype)
     b = audio_normed.shape[0]
     x_enc = jax.nn.relu(

@@ -137,17 +137,24 @@ def hifigan_generator(p, mel, cfg: MossFormerSrConfig):
     return jnp.tanh(x[..., 0])
 
 
+def prepare_params_sr(params, cfg: "MossFormerSrConfig"):
+    """Compute-dtype cast for SR: only the masknet's own weights — the
+    HiFi-GAN generator (the largest subtree) deliberately runs f32, so bf16
+    copies of it would be pure waste.  Exposed as the model's
+    ``prepare_params`` so serving paths can apply the cast once host-side
+    instead of re-materializing it every call inside jit."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype == jnp.float32:
+        return params
+    return {k: (core.cast_f32_tree(v, dtype) if k != "gen" else v)
+            for k, v in params.items()}
+
+
 def sr_masknet(p, mel, cfg: MossFormerSrConfig):
     """(B, T, n_mels) log-mel → (B, T, n_mels) enhanced mel for the generator."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        # cast only the masknet's own weights: p is the FULL params dict and
-        # the HiFi-GAN generator (its largest subtree) deliberately runs f32
-        # from the original dict — bf16 copies of it would be pure waste
-        p = {k: (jax.tree.map(lambda a: a.astype(dtype)
-                              if a.dtype == jnp.float32 else a, v)
-                 if k != "gen" else v)
-             for k, v in p.items()}
+        p = prepare_params_sr(p, cfg)  # idempotent on pre-cast trees
         mel = mel.astype(dtype)
     x = group_norm_all(p["front_norm"], mel)
     x = core.dense(p["front"], x)

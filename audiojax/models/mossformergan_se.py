@@ -283,7 +283,7 @@ def mossformergan_net(p, mag_c, spec_c, cfg: MossFormerGanConfig):
     """compressed mag (B,T,F) + compressed complex (B,T,F,2) → enhanced packed."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        p = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+        p = core.cast_f32_tree(p, dtype)  # idempotent on pre-cast trees
         mag_c = mag_c.astype(dtype)
         spec_c = spec_c.astype(dtype)
     x = jnp.concatenate([mag_c[..., None], spec_c], axis=-1)  # (B,T,F,3)

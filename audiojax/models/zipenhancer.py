@@ -191,7 +191,7 @@ def zipenhancer_net(params, mag, pha, cfg: ZipEnhancerConfig):
     """compressed magnitude+phase (B, T, F) → (mag_out, phase_ri) per frame."""
     dtype = jnp.dtype(cfg.compute_dtype)
     if dtype != jnp.float32:
-        params = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, params)
+        params = core.cast_f32_tree(params, dtype)  # idempotent on pre-cast trees
     x = jnp.stack([mag, pha], axis=-1).astype(dtype)
     x = dense_encoder(params["encoder"], x, cfg)
     for i, (t_ds, f_ds) in enumerate(cfg.encoder_downsample):

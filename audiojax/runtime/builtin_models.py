@@ -406,7 +406,8 @@ def _mossformer_sr_manifest(cfg):
 
 
 def _register_mossformer_sr():
-    from ..models.mossformer_sr import MossFormerSrConfig, init_mossformer_sr, make_mossformer_sr
+    from ..models.mossformer_sr import (MossFormerSrConfig, init_mossformer_sr,
+                                        make_mossformer_sr, prepare_params_sr)
 
     register(
         ModelSpec(
@@ -416,6 +417,8 @@ def _register_mossformer_sr():
             init_params=init_mossformer_sr,
             make_forward=make_mossformer_sr,
             make_manifest=_mossformer_sr_manifest,
+            # the HiFi-GAN generator subtree deliberately stays f32
+            prepare_params=prepare_params_sr,
         )
     )
 

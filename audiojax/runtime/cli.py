@@ -165,6 +165,9 @@ def main(argv=None):
 
     from .optimize import wrap_forward
 
+    # pre-cast f32 leaves to the config's compute dtype once (no-op for f32
+    # configs and for quantized artifacts — see prepare_compute_params)
+    params = registry.prepare_compute_params(params, cfg, spec)
     session = Session(wrap_forward(spec.make_forward(cfg), manifest), params, manifest)
     result = session.process(*audios)
 

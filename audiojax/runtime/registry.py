@@ -53,6 +53,11 @@ class ModelSpec:
     # it; StreamingServer.verify_lane_isolation() checks the contract and the
     # suite runs it for every streaming model.
     make_stream: Callable[[object], tuple] | None = None
+    # optional host-side compute-dtype preparation: (params, cfg) -> params.
+    # Defaults to casting every f32 leaf to cfg.compute_dtype (see
+    # prepare_compute_params); models with deliberate in-tree f32 islands
+    # (MossFormer-SR's HiFi-GAN generator) override it.
+    prepare_params: Callable[[object, object], object] | None = None
 
 
 _REGISTRY: dict[str, ModelSpec] = {}
@@ -80,6 +85,35 @@ def has_compute_dtype(cfg) -> bool:
     return dataclasses.is_dataclass(cfg) and any(
         f.name == "compute_dtype" for f in dataclasses.fields(cfg)
     )
+
+
+def prepare_compute_params(params, cfg, spec: ModelSpec | None = None):
+    """Host-side compute-dtype preparation: cast f32 param leaves to
+    ``cfg.compute_dtype`` ONCE, so the model's (idempotent) in-net cast
+    traces to a no-op.  Left to the in-net cast alone, the whole-tree
+    convert re-materializes per call and costs more HBM traffic than the
+    bf16 matmuls save on small-batch models (MossFormer2-SE measured 4.16 ms
+    in-jit cast vs 3.40 ms pre-cast vs 3.88 ms f32, v5e).
+
+    Quantized trees ({'q8','scale'} leaves) pass through untouched — their
+    scale dtypes are part of the dequant contract, and q8 plans pin
+    compute_dtype to f32 anyway."""
+    if not has_compute_dtype(cfg):
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    if jnp.dtype(getattr(cfg, "compute_dtype")) == jnp.float32:
+        return params
+    # defensive: never touch quantized trees (scale dtype = dequant contract)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    if any(str(getattr(k, "key", "")) == "q8" for path, _ in flat for k in path):
+        return params
+    if spec is not None and spec.prepare_params is not None:
+        return spec.prepare_params(params, cfg)
+    from ..nn.core import cast_f32_tree
+
+    return cast_f32_tree(params, getattr(cfg, "compute_dtype"))
 
 
 def example_audio(name: str) -> tuple[Path, ...] | None:

@@ -71,6 +71,9 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
     inputs = [jnp.asarray(_clip(shape, rc["IN_SAMPLE_RATE"], seed=i)) for i in range(k)]
 
     params = spec.init_params(jax.random.PRNGKey(0), cfg)
+    if compute_dtype is not None and not quant:
+        # one host-side cast instead of a per-call in-jit tree convert
+        params = registry.prepare_compute_params(params, cfg, spec)
     fwd = spec.make_forward(cfg)
     snr_q8 = None
     if quant:  # quantized-parameter serving path (q8f32 fused-dequant / q8dyn int8 MXU)

@@ -58,9 +58,12 @@ def run(smoke: bool = False) -> dict:
     elapsed = _bench_model(zfn, zparams, clip(total), iters=iters_big)
     results["zipenhancer"] = elapsed / (total / 16000.0)
 
+    from audiojax.runtime.registry import prepare_compute_params
+
     zcfg_bf16 = dataclasses.replace(zcfg, compute_dtype="bfloat16")
     zfn_bf16 = jax.jit(make_zipenhancer(zcfg_bf16))
-    elapsed_bf16 = _bench_model(zfn_bf16, zparams, clip(total), iters=iters_big)
+    zparams_bf16 = prepare_compute_params(zparams, zcfg_bf16)  # host-side cast
+    elapsed_bf16 = _bench_model(zfn_bf16, zparams_bf16, clip(total), iters=iters_big)
     results["zipenhancer_bf16"] = elapsed_bf16 / (total / 16000.0)
 
     gcfg = GtcrnConfig(fold_window=24064)
@@ -78,7 +81,8 @@ def run(smoke: bool = False) -> dict:
     if smoke:
         mcfg = dataclasses.replace(mcfg, depth=2)
     mfn = jax.jit(make_mossformer2_se(mcfg))
-    mparams = init_mossformer2_se(jax.random.PRNGKey(0), mcfg)
+    mparams = prepare_compute_params(
+        init_mossformer2_se(jax.random.PRNGKey(0), mcfg), mcfg)
     mclip = clip(96000, rate=48000)
     _bench_model(mfn, mparams, mclip, iters=2 if smoke else 5)  # extra settle (tunnel warmup)
     elapsed_m = _bench_model(mfn, mparams, mclip, iters=2 if smoke else 15)

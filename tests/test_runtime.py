@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from audiojax.runtime import (
     Manifest,
@@ -244,6 +245,53 @@ def test_optimize_plans_fail_closed():
     # q8 with nothing big enough to quantize must abort, not silently no-op
     with pytest.raises(ValueError, match="ZERO leaves"):
         apply_plan(params, Plan("bad", quantize="q8f32", q8_min_size=1 << 20))
+
+
+def test_prepare_compute_params_matches_in_jit_cast():
+    """Host-side pre-cast (registry.prepare_compute_params) must be exactly
+    the cast the net applies in-jit — bit-identical outputs — so serving
+    paths can hoist it out of the per-call graph (measured 0.76 ms/call of
+    pure convert traffic on MossFormer2-SE, v5e)."""
+    import dataclasses
+
+    from audiojax.models.mossformer2_se import (MossFormer2SeConfig, init_mossformer2_se,
+                                                make_mossformer2_se)
+    from audiojax.runtime.registry import prepare_compute_params
+
+    cfg = dataclasses.replace(MossFormer2SeConfig(), depth=1, compute_dtype="bfloat16")
+    params = init_mossformer2_se(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray((rng.standard_normal((1, 4 * cfg.hop)) * 8000).astype(np.int16))
+    fn = jax.jit(make_mossformer2_se(cfg))
+    ref = np.asarray(fn(params, audio))
+    pre = prepare_compute_params(params, cfg)
+    assert all(a.dtype == jnp.bfloat16 for a in jax.tree.leaves(pre)
+               if a.dtype in (jnp.float32, jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(fn(pre, audio)), ref)
+
+    # f32 configs and quantized trees pass through untouched
+    f32cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    assert prepare_compute_params(params, f32cfg) is params
+    qtree = {"lin": {"w": {"q8": jnp.ones((8, 8), jnp.int8),
+                           "scale": jnp.ones((1, 8), jnp.float32)}}}
+    assert prepare_compute_params(qtree, cfg) is qtree
+
+
+def test_prepare_params_sr_keeps_generator_f32():
+    """MossFormer-SR's prepare_params must not cast the HiFi-GAN generator
+    (deliberate f32 island) while casting the masknet."""
+    from audiojax.runtime import registry
+
+    spec = registry.get("mossformer2_sr")
+    assert spec.prepare_params is not None
+    import dataclasses
+
+    cfg = dataclasses.replace(spec.make_config(), compute_dtype="bfloat16")
+    params = {"gen": {"w": jnp.ones((4, 4), jnp.float32)},
+              "front": {"w": jnp.ones((4, 4), jnp.float32)}}
+    out = registry.prepare_compute_params(params, cfg, spec)
+    assert out["gen"]["w"].dtype == jnp.float32
+    assert out["front"]["w"].dtype == jnp.bfloat16
 
 
 def test_experimental_plan_warns_at_apply_time():
