@@ -50,27 +50,47 @@ __all__ = [
 # half of VMEM.
 _F_CHUNK_BYTES = 3 << 20
 
+# K-chunked kernels: ceiling for a SINGLE full-frequency-width basis block
+# (kc=1).  When rp·fc_full·4 fits under this, one f-chunk + exact k-blocks
+# beat the generic 768-lane chunking — Mel-Band 44.1 kHz pads kk 2560→3072
+# and fb2 2050→2304 under the generic rule (~1.35× extra MACs) but only
+# 2050→2176 (1.06×) here.  5 MB double-buffered + out blocks stays under the
+# 16 MB scoped-VMEM limit at tb=128 (tb=512 was measured to OOM at 19.25 MB).
+_KCHUNK_FULL_BASIS_BYTES = 5 << 20
+
+
+def _kchunk_geometry(rp: int, fb2: int, k_seg: int) -> tuple[int, int]:
+    """(fc, kc) for the K-chunked kernels: full-width f-chunk when the basis
+    block fits ``_KCHUNK_FULL_BASIS_BYTES``, else 768 lanes; kc then fills
+    ``_F_CHUNK_BYTES``."""
+    fc_full = -(-fb2 // 128) * 128
+    fc = fc_full if rp * fc_full * 4 <= _KCHUNK_FULL_BASIS_BYTES else min(fc_full, 768)
+    kc = max(1, min(_F_CHUNK_BYTES // (rp * fc * 4), k_seg))
+    return fc, kc
+
 
 def _row_pad(hop: int) -> int:
     """Hop-row lane width: hop padded up to a multiple of 128."""
     return -(-hop // 128) * 128
 
 
-# Padded-segment DFT basis byte ceiling for the fused path.  Above this the
-# Mosaic remote compile was measured pathological on v5e (Mel-Band 2048/441:
-# kk=2560 × 2F=2050 ≈ 21 MB → compile crash at 6 MB VMEM chunks, >40 min
-# compile at 3 MB chunks); DFSMN 1920/960 at 15.7 MB compiles in seconds and
-# runs 1.45×/1.64× faster than the jnp path, so the ceiling sits between.
+# Padded-segment DFT basis byte ceiling for the single-K fused path.  Above
+# this the Mosaic remote compile was measured pathological on v5e (Mel-Band
+# 2048/441: kk=2560 × 2F=2050 ≈ 21 MB → compile crash at 6 MB VMEM chunks,
+# >40 min compile at 3 MB chunks); DFSMN 1920/960 at 15.7 MB compiles in
+# seconds and runs 1.45×/1.64× faster than the jnp path, so the ceiling sits
+# between.  Geometries above it take the K-CHUNKED kernels below (a fourth
+# grid dimension over segment chunks with dynamic-shift rolls), which keep
+# every basis block at ≤ _F_CHUNK_BYTES regardless of kk — so the fused path
+# now covers all 10 zoo geometries.
 _BASIS_SAFE_BYTES = 18 << 20
 
 
 def pallas_supported(cfg: StftConfig) -> bool:
-    """Padded-segment kernels cover any hop; only geometries whose padded DFT
-    basis exceeds ``_BASIS_SAFE_BYTES`` (Mel-Band 44.1 kHz) fall back to the
-    jnp path — see the ceiling note above."""
-    rp = _row_pad(cfg.hop)
-    k_seg = -(-cfg.n_fft // cfg.hop)
-    return k_seg * rp * 2 * cfg.f_bins * 4 <= _BASIS_SAFE_BYTES
+    """Padded-segment kernels cover any hop; geometries whose padded DFT
+    basis exceeds ``_BASIS_SAFE_BYTES`` (Mel-Band 44.1 kHz) route to the
+    K-chunked variants instead of falling back — every zoo geometry fuses."""
+    return True
 
 
 def fast_stft_packed(x, cfg: StftConfig):
@@ -138,6 +158,44 @@ def _kernel(x_ref, basis_ref, o_ref, scratch, sem, *, tb, n_rows, k_seg):
                        precision=jax.lax.Precision.HIGHEST)
 
 
+def _kernel_kchunk(x_ref, basis_ref, o_ref, scratch, sem, *, tb, n_rows, kc):
+    """Big-basis twin of ``_kernel``: a fourth grid dimension walks segment
+    chunks of ``kc`` hop-rows each, so the per-step basis block stays under
+    ``_F_CHUNK_BYTES`` no matter how large ``k_seg·rp`` is (Mel-Band 44.1 kHz
+    is 21 MB).  Segment shifts become grid-dependent, so the sublane
+    rotations use dynamic ``pltpu.roll`` amounts; frequency chunks write
+    disjoint output lanes, segment chunks accumulate into the same block
+    (ki innermost → the revisited block stays resident in VMEM)."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    fi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when((fi == 0) & (ki == 0))
+    def _dma():  # one strip DMA per (bi, ti); reused across all chunks
+        start = pl.multiple_of(i * tb, 8)  # tb is a multiple of 8
+        dma = pltpu.make_async_copy(x_ref.at[bi, pl.ds(start, n_rows)], scratch, sem)
+        dma.start()
+        dma.wait()
+
+    rows = scratch[:]
+    parts = []
+    for j in range(kc):
+        k = ki * kc + j  # global segment index (traced)
+        parts.append(pltpu.roll(rows, (n_rows - k) % n_rows, 0)[:tb])
+    frames = parts[0] if kc == 1 else jnp.concatenate(parts, axis=-1)  # (tb, kc·rp)
+    acc = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(ki == 0)
+    def _init():
+        o_ref[0] = acc
+
+    @pl.when(ki != 0)
+    def _accum():
+        o_ref[0] += acc
+
+
 def stft_packed_pallas(x: jnp.ndarray, cfg: StftConfig, *, frames_per_block: int = 128,
                        interpret: bool = False) -> jnp.ndarray:
     """(B, L) float32 → packed (B, T, 2F); same contract as dsp.stft_packed."""
@@ -160,8 +218,36 @@ def stft_packed_pallas(x: jnp.ndarray, cfg: StftConfig, *, frames_per_block: int
     if rp != cfg.hop:
         x = jnp.pad(x, [(0, 0), (0, 0), (0, rp - cfg.hop)])
 
-    basis = jnp.asarray(_stft_basis_padded_np(cfg, rp, k_seg))
     kk = k_seg * rp
+    if kk * fb2 * 4 > _BASIS_SAFE_BYTES:
+        # K-chunked route (Mel-Band 44.1 kHz): both the frequency AND the
+        # contraction (segment) axes are chunked so every basis block stays
+        # small; the k axis is explicitly zero-padded to whole chunks
+        # (contraction padding must be exact — masked garbage would
+        # accumulate into real outputs)
+        fc, kc = _kchunk_geometry(rp, fb2, k_seg)
+        k_blocks = -(-k_seg // kc)
+        basis = jnp.asarray(_stft_basis_padded_np(cfg, rp, k_blocks * kc))
+        f_blocks = -(-fb2 // fc)
+        kernel = partial(_kernel_kchunk, tb=tb, n_rows=n_rows, kc=kc)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, blocks, f_blocks, k_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
+                pl.BlockSpec((kc * rp, fc), lambda bi, ti, fi, ki: (ki, fi),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tb, fc), lambda bi, ti, fi, ki: (bi, ti, fi),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, blocks * tb, fb2), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_rows, rp), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(x, basis)
+        return out[:, :n_t]
+
+    basis = jnp.asarray(_stft_basis_padded_np(cfg, rp, k_seg))
     # chunk the output frequency axis when the basis block would blow VMEM;
     # blocked specs mask the final partial chunk, so fb2 needs no padding here
     f_blocks = max(1, -(-(kk * fb2 * 4) // _F_CHUNK_BYTES))
@@ -223,6 +309,47 @@ def _ikernel(spec_ref, ibasis_ref, o_ref, scratch, sem, *, tb, n_rows, k_seg, rp
         o_ref[0] += acc
 
 
+def _ikernel_kchunk(spec_ref, ibasis_ref, o_ref, scratch, sem, *, tb, n_rows, k_seg,
+                    kc, rp, fc):
+    """Big-basis twin of ``_ikernel``: grid dimension 3 walks segment chunks
+    of the iDFT output axis, keeping every basis block under
+    ``_F_CHUNK_BYTES``.  Both the frequency chunks (fi, the contraction) and
+    the segment chunks (ki, the overlap-add) accumulate into the same
+    revisited output block — legal because both are the innermost grid
+    dimensions; OLA shifts are grid-dependent, hence dynamic roll amounts."""
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    fi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _dma():  # one spectral-strip DMA per (bi, ti, fi); reused across ki
+        start = pl.multiple_of(i * tb, 8)  # tb is a multiple of 8
+        dma = pltpu.make_async_copy(
+            spec_ref.at[bi, pl.ds(start, n_rows), pl.ds(fi * fc, fc)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
+    frames = jnp.dot(scratch[:], ibasis_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (n_rows, kc·rp)
+    acc = jnp.zeros((tb, rp), jnp.float32)
+    for j in range(kc):
+        k = ki * kc + j  # global segment index (traced)
+        seg = frames[:, j * rp : (j + 1) * rp]  # 128-aligned lane slice
+        # out_row[r] += frames_padded[r + (k_seg-1-k)].segment[k]; segments
+        # past k_seg are zero basis columns, their roll lands harmlessly
+        acc = acc + pltpu.roll(seg, (n_rows - k_seg + 1 + k) % n_rows, 0)[:tb]
+
+    @pl.when((fi == 0) & (ki == 0))
+    def _init():
+        o_ref[0] = acc
+
+    @pl.when((fi != 0) | (ki != 0))
+    def _accum():
+        o_ref[0] += acc
+
+
 def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int | None = None,
                         frames_per_block: int = 128, interpret: bool = False) -> jnp.ndarray:
     """Packed (B, T, 2F) → (B, L_out); same contract as ``dsp.istft_packed``.
@@ -249,27 +376,53 @@ def istft_packed_pallas(spec: jnp.ndarray, cfg: StftConfig, *, out_length: int |
     # Mosaic HBM slices need 128-aligned lanes, so chunks are 128-multiples
     # and the 2F axis is padded to a whole number of chunks (zero rows of the
     # basis contribute nothing to the iDFT matmul)
-    f_blocks = max(1, -(-(kk * (-(-fb2 // 128) * 128) * 4) // _F_CHUNK_BYTES))
-    fc = -(-(-(-fb2 // f_blocks)) // 128) * 128
-    f_blocks = -(-fb2 // fc)
-    fb2_pad = f_blocks * fc
-    spec_p = jnp.pad(spec, [(0, 0), (front, tail), (0, fb2_pad - fb2)])
+    if kk * (-(-fb2 // 128) * 128) * 4 > _BASIS_SAFE_BYTES:
+        # K-chunked route (Mel-Band 44.1 kHz): chunk the iDFT output axis too
+        fc, kc = _kchunk_geometry(rp, fb2, k_seg)
+        k_blocks = -(-k_seg // kc)
+        f_blocks = -(-fb2 // fc)
+        fb2_pad = f_blocks * fc
+        spec_p = jnp.pad(spec, [(0, 0), (front, tail), (0, fb2_pad - fb2)])
+        ibasis = jnp.asarray(_istft_basis_padded_np(cfg, rp, k_blocks * kc, fb2_pad))
+        kernel = partial(_ikernel_kchunk, tb=tb, n_rows=n_rows, k_seg=k_seg,
+                         kc=kc, rp=rp, fc=fc)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, blocks, f_blocks, k_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
+                pl.BlockSpec((fc, kc * rp), lambda bi, ti, fi, ki: (fi, ki),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tb, rp), lambda bi, ti, fi, ki: (bi, ti, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, blocks * tb, rp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_rows, fc), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(spec_p, ibasis)
+    else:
+        f_blocks = max(1, -(-(kk * (-(-fb2 // 128) * 128) * 4) // _F_CHUNK_BYTES))
+        fc = -(-(-(-fb2 // f_blocks)) // 128) * 128
+        f_blocks = -(-fb2 // fc)
+        fb2_pad = f_blocks * fc
+        spec_p = jnp.pad(spec, [(0, 0), (front, tail), (0, fb2_pad - fb2)])
 
-    ibasis = jnp.asarray(_istft_basis_padded_np(cfg, rp, k_seg, fb2_pad))
-    kernel = partial(_ikernel, tb=tb, n_rows=n_rows, k_seg=k_seg, rp=rp, fc=fc)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, blocks, f_blocks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
-            pl.BlockSpec((fc, kk), lambda bi, ti, fi: (fi, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tb, rp), lambda bi, ti, fi: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, blocks * tb, rp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_rows, fc), jnp.float32), pltpu.SemaphoreType.DMA],
-        interpret=interpret,
-    )(spec_p, ibasis)
+        ibasis = jnp.asarray(_istft_basis_padded_np(cfg, rp, k_seg, fb2_pad))
+        kernel = partial(_ikernel, tb=tb, n_rows=n_rows, k_seg=k_seg, rp=rp, fc=fc)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, blocks, f_blocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # sliced via DMA in-kernel
+                pl.BlockSpec((fc, kk), lambda bi, ti, fi: (fi, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tb, rp), lambda bi, ti, fi: (bi, ti, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, blocks * tb, rp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_rows, fc), jnp.float32), pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(spec_p, ibasis)
 
     raw_len = cfg.n_fft + cfg.hop * (n_t - 1)
     if rp != cfg.hop:

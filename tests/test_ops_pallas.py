@@ -25,13 +25,12 @@ ZOO_GEOMETRIES = [
 
 
 def test_pallas_supported_everywhere():
-    """9 of 10 zoo geometries take the fused path; Mel-Band's 21 MB padded
-    basis is over the measured Mosaic compile-safety ceiling and falls back
-    to the jnp path (see stft_pallas._BASIS_SAFE_BYTES)."""
+    """All 10 zoo geometries take the fused path: Mel-Band's 21 MB padded
+    basis (over the single-K Mosaic compile-safety ceiling,
+    stft_pallas._BASIS_SAFE_BYTES) routes to the K-chunked kernels."""
     from audiojax.ops.stft_pallas import pallas_supported
 
-    supported = [pallas_supported(cfg) for cfg, _ in ZOO_GEOMETRIES]
-    assert supported == [True] * 5 + [False] + [True] * 4  # index 5 = melband
+    assert all(pallas_supported(cfg) for cfg, _ in ZOO_GEOMETRIES)
 
 
 @pytest.mark.parametrize("cfg,length", ZOO_GEOMETRIES)
