@@ -12,8 +12,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["read_audio", "read_wav", "register_decoder", "write_wav", "to_mono",
-           "resample_np", "normalise_rms"]
+__all__ = ["read_audio", "read_wav", "register_decoder", "ffmpeg_path",
+           "write_wav", "to_mono", "resample_np", "normalise_rms"]
 
 # magic-byte prefix → decoder(path) -> (int16 (channels, n), rate).  WAV and
 # FLAC ship built-in; register_decoder is the documented hook for anything
@@ -37,12 +37,70 @@ def _decode_flac_file(path):
     return native.decode_flac(Path(path).read_bytes())
 
 
+def _sniff_container(head: bytes) -> str | None:
+    """Best-effort container name from the first bytes, for actionable
+    errors on formats we don't decode natively (the reference accepts them
+    all by piping through pydub/ffmpeg —
+    /root/reference/GTCRN/Inference_GTCRN_ONNX.py:272)."""
+    if head.startswith(b"ID3") or (len(head) >= 2 and head[0] == 0xFF
+                                   and (head[1] & 0xE0) == 0xE0):
+        return "MP3"
+    if head.startswith(b"OggS"):
+        return "OGG (Vorbis/Opus)"
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        return "MP4/M4A (AAC)"
+    if head.startswith(b"FORM"):
+        return "AIFF"
+    if head.startswith(b"#!AMR"):
+        return "AMR"
+    if head.startswith(b"\x30\x26\xb2\x75"):
+        return "WMA/ASF"
+    return None
+
+
+def ffmpeg_path() -> str | None:
+    """External-converter hook: ``$AUDIOJAX_FFMPEG`` (explicit binary) or an
+    ``ffmpeg`` found on PATH.  ``AUDIOJAX_FFMPEG=""`` disables the hook."""
+    import os
+    import shutil
+
+    env = os.environ.get("AUDIOJAX_FFMPEG")
+    if env is not None:
+        return env or None
+    return shutil.which("ffmpeg")
+
+
+def _decode_via_ffmpeg(path, ffmpeg: str) -> tuple[np.ndarray, int]:
+    """Decode any container ffmpeg reads by converting to PCM16 WAV in a
+    temp file — the same escape hatch the reference uses via pydub."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        proc = subprocess.run(
+            [ffmpeg, "-y", "-v", "error", "-i", str(path),
+             "-acodec", "pcm_s16le", "-f", "wav", tmp_path],
+            capture_output=True, text=True, timeout=600)
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg failed to decode {path}: {proc.stderr.strip()[:400]}")
+        return read_wav(tmp_path)
+    finally:
+        Path(tmp_path).unlink(missing_ok=True)
+
+
 def read_audio(path) -> tuple[np.ndarray, int]:
     """Decode any supported container → (int16 ``(channels, n)``, rate).
 
     Dispatches on magic bytes: RIFF/WAVE via :func:`read_wav`, FLAC via the
     native decoder (native/audioio.cc), plus anything added through
-    :func:`register_decoder`."""
+    :func:`register_decoder`.  Any other container (MP3/OGG/M4A/…) is piped
+    through ffmpeg when one is available (``$AUDIOJAX_FFMPEG`` or PATH) —
+    the reference's own decode path is pydub→ffmpeg
+    (/root/reference/GTCRN/Inference_GTCRN_ONNX.py:272); otherwise the error
+    names the detected format and the one-line fix."""
     with open(path, "rb") as fh:
         head = fh.read(32)  # long enough for any registered decoder magic
     for magic, decoder in _DECODERS:
@@ -52,9 +110,16 @@ def read_audio(path) -> tuple[np.ndarray, int]:
         return _decode_flac_file(path)
     if head.startswith(b"RIFF"):
         return read_wav(path)
+    ffmpeg = ffmpeg_path()
+    if ffmpeg:
+        return _decode_via_ffmpeg(path, ffmpeg)
+    kind = _sniff_container(head)
+    detected = f"{kind} input" if kind else f"unrecognised container {head[:4]!r}"
     raise ValueError(
-        f"unrecognised audio container {head[:4]!r} in {path}; supported: WAV, "
-        f"FLAC (native), or register a decoder via audio_io.register_decoder"
+        f"{detected} in {path}: built-in decoders cover WAV and FLAC; convert "
+        f"first (`ffmpeg -i {path} out.wav`), or install ffmpeg / set "
+        f"AUDIOJAX_FFMPEG=/path/to/ffmpeg to decode in place, or register a "
+        f"decoder via audio_io.register_decoder"
     )
 
 

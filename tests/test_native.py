@@ -190,10 +190,12 @@ def test_flac_decode_fail_closed_on_corruption():
         native.decode_flac(bytes(blob))
 
 
-def test_read_audio_dispatches_by_magic(tmp_path):
+def test_read_audio_dispatches_by_magic(tmp_path, monkeypatch):
     from flac_golden import encode_flac
 
     from audiojax.runtime.audio_io import read_audio
+
+    monkeypatch.setenv("AUDIOJAX_FFMPEG", "")  # junk must not hit a stray ffmpeg
 
     pcm = _speechish(3000, channels=2, seed=9)
     (tmp_path / "x.flac").write_bytes(encode_flac(pcm, 16000, stereo="mid_side"))
@@ -206,6 +208,61 @@ def test_read_audio_dispatches_by_magic(tmp_path):
     (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02\x03junk")
     with pytest.raises(ValueError, match="register_decoder"):
         read_audio(tmp_path / "x.bin")
+
+
+def test_read_audio_mp3_without_ffmpeg_names_format(tmp_path, monkeypatch):
+    """Non-native containers fail with a one-line instruction naming the
+    detected format (reference decodes these via pydub→ffmpeg,
+    /root/reference/GTCRN/Inference_GTCRN_ONNX.py:272)."""
+    from audiojax.runtime.audio_io import read_audio
+
+    monkeypatch.setenv("AUDIOJAX_FFMPEG", "")  # hook disabled
+    (tmp_path / "x.mp3").write_bytes(b"ID3\x04\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="MP3 input .*ffmpeg"):
+        read_audio(tmp_path / "x.mp3")
+    # bare MPEG sync word (no ID3 tag) is also recognised as MP3
+    (tmp_path / "y.mp3").write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="MP3 input"):
+        read_audio(tmp_path / "y.mp3")
+    (tmp_path / "z.ogg").write_bytes(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="OGG"):
+        read_audio(tmp_path / "z.ogg")
+
+
+def test_read_audio_ffmpeg_hook_decodes_any_container(tmp_path, monkeypatch):
+    """AUDIOJAX_FFMPEG points at a converter binary; read_audio pipes
+    unrecognised containers through it (stubbed here: the image has no
+    ffmpeg, so the stub converts by copying a pre-made WAV)."""
+    import os
+    import stat
+
+    from audiojax.runtime.audio_io import read_audio
+
+    pcm = _speechish(3000, channels=1, seed=11)
+    golden = write_wav(tmp_path / "golden.wav", pcm, 16000)
+    stub = tmp_path / "fake_ffmpeg.sh"
+    # real invocation shape: ffmpeg -y -v error -i IN -acodec pcm_s16le -f wav OUT
+    stub.write_text(f'#!/bin/sh\nfor a; do out=$a; done\ncp {golden} "$out"\n')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("AUDIOJAX_FFMPEG", str(stub))
+    (tmp_path / "x.mp3").write_bytes(b"ID3\x04\x00" + b"\x00" * 64)
+    out, rate = read_audio(tmp_path / "x.mp3")
+    assert rate == 16000
+    np.testing.assert_array_equal(out, pcm.reshape(1, -1))
+
+
+def test_read_audio_ffmpeg_failure_is_actionable(tmp_path, monkeypatch):
+    import stat
+
+    from audiojax.runtime.audio_io import read_audio
+
+    stub = tmp_path / "fake_ffmpeg.sh"
+    stub.write_text("#!/bin/sh\necho 'boom: bad stream' >&2\nexit 1\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("AUDIOJAX_FFMPEG", str(stub))
+    (tmp_path / "x.mp3").write_bytes(b"ID3\x04\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="ffmpeg failed .*boom"):
+        read_audio(tmp_path / "x.mp3")
 
 
 def test_read_wav_rejects_truncated_and_tiny_bitdepth(tmp_path):
