@@ -5,9 +5,10 @@ its Test_Examples (BASELINE.md).  In-repo, that gate is enforced end-to-end by
 ``tests/test_reference_parity.py``: the reference's own torch model classes
 are AST-extracted from its Export scripts, instantiated with seeded weights,
 and run against the same weights pushed through ``import_checkpoint`` —
-40 dB per family (component-level for H-GTCRN, MossFormer-SR and
-ZipEnhancer, whose e2e gates are 20/20/10 dB due to measured f32
-conditioning / Snake chaos / atan2 branch-cut noise; everything else
+40 dB per family (component-level for H-GTCRN and MossFormer-SR, whose e2e
+gates are 20 dB due to measured f32 WPE conditioning / Snake chaos;
+ZipEnhancer's independent-STFT e2e gates 35 dB once the atan2 branch cut is
+folded away identically in both stacks, measured 61 dB; everything else
 clears 40 dB end-to-end, most 55–75 dB).  This module is the
 standalone measurement side for *pretrained* checkpoints: point it at a
 reference output wav produced elsewhere (e.g. ORT on a connected machine).

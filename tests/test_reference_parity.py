@@ -12,6 +12,8 @@ applied across the framework boundary.
 """
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -1632,16 +1634,61 @@ def _zip_setup():
     return ns, wrapper, sd
 
 
+@contextlib.contextmanager
+def _folded_phase_feature():
+    """Swap the phase FEATURE's ``atan2(im, re + 1e-5)`` for the branch-cut-
+    free fold ``atan2(|im|, re + 1e-5)`` — IDENTICALLY in both stacks, by
+    patching the one callable each side resolves at call time (the reference
+    wrapper calls ``torch.atan2`` at Export_ZipEnhancer.py:843; our forward
+    calls ``jnp.arctan2`` at models/zipenhancer.py:231).  The folded feature
+    is continuous everywhere except the origin, so the two independently-
+    computed STFTs (agreeing at ~98 dB) can no longer legitimately disagree
+    by 2π at im≈0, re<0 bins — a tight e2e gate becomes meaningful.  Nothing
+    else changes: framing, DFT, compression, net, decoders, ISTFT, OLA and
+    denorm all run their production code.
+
+    Why conditioning the STIMULUS instead cannot work: the inputs are int16
+    PCM, and one LSB of rounding moves a normalized STFT bin's imag by
+    ~1e-4 — two orders of magnitude more than the ~1e-6 cross-stack
+    disagreement — so ANY int16 stimulus keeps hundreds of bins close enough
+    to the cut for rounding jitter to flip them (a least-norm Jacobian
+    conditioner was measured to plateau at ~240 risky bins and never
+    converge)."""
+    t_orig, j_orig = torch.atan2, jnp.arctan2
+    torch.atan2 = lambda y, x: t_orig(torch.abs(y), x)
+    jnp.arctan2 = lambda y, x: j_orig(jnp.abs(y), x)
+    try:
+        yield
+    finally:
+        torch.atan2, jnp.arctan2 = t_orig, j_orig
+
+
 def test_zipenhancer_e2e_parity_vs_reference_torch():
-    """Full-independent e2e gate is 10 dB, not 40: the raw-angle phase FEATURE
-    (atan2(imag, real + 1e-5), Export_ZipEnhancer.py:843) has a ±π branch cut,
-    and two numerically-distinct STFTs agreeing at 98 dB in real/imag still
-    flip ~0.2% of bins (those with imag≈0, real<0 — measured, NOT only
-    low-energy bins) by a full 2π, which the random-weight net amplifies
-    (measured e2e: ~11.6 dB; wiring errors land near 0 dB).  The 40 dB gate
-    runs net→decoders→ISTFT→denorm on the REFERENCE's own analysis features
-    (that one shared stage is separately goldened vs torch.stft in
-    tests/test_stft.py), measured ~64 dB."""
+    """Full-independent e2e parity, two stimuli:
+
+    * the RAW stimulus keeps a 10 dB sanity gate: the raw-angle phase
+      FEATURE (atan2(imag, real + 1e-5), Export_ZipEnhancer.py:843) has a
+      ±π branch cut, and two numerically-distinct STFTs agreeing at 98 dB
+      in real/imag still flip ~0.2% of bins (those with imag≈0, real<0 —
+      measured, NOT only low-energy bins) by a full 2π, which the
+      random-weight net amplifies.  WHICH bins flip depends on last-bit
+      rounding, which varies with BLAS thread scheduling, so the raw SNR is
+      chaotic run-to-run (measured 9.2 / 9.4 / 11.6 / 17.7 dB across runs of
+      the same code); the gate is 6 dB — wiring errors land near 0 dB, so
+      this stays a sanity pin while the folded-feature gate below does the
+      real work;
+    * the FOLDED-FEATURE pass (same stimulus; ``atan2(|im|, re+1e-5)``
+      substituted identically in both stacks — see
+      :func:`_folded_phase_feature`) removes the branch cut and gates the
+      full independent-STFT pipeline at ≥35 dB (measured 61.2 dB), so a real
+      mid-pipeline regression can no longer hide behind "phase flips".
+      (The SR/H-GTCRN loose gates are NOT branch-cut-driven — Snake chaos
+      and WPE normal-equation conditioning respectively — so this trick
+      does not transfer to them.)
+
+    The 40 dB shared-feature gate below additionally pins net→decoders→
+    ISTFT→denorm on the REFERENCE's own analysis features (measured ~64 dB).
+    """
     ns, wrapper, sd = _zip_setup()
     L = 2 * ns["FOLD_WINDOW_LENGTH"]  # two whole fold windows (the export pads outside)
     audio = _pcm(L, seed=61)
@@ -1656,7 +1703,15 @@ def test_zipenhancer_e2e_parity_vs_reference_torch():
     out = np.asarray(zipenhancer_forward(params, jnp.asarray(audio[:, 0]), cfg))
     snr = snr_db(ref.ravel(), out.ravel())
     print(f"ZipEnhancer e2e SNR vs reference torch (independent STFTs): {snr:.1f} dB")
-    assert snr >= 10.0
+    assert snr >= 6.0
+
+    with _folded_phase_feature():
+        with torch.inference_mode():
+            ref_c = wrapper(torch.from_numpy(audio)).numpy()
+        out_c = np.asarray(zipenhancer_forward(params, jnp.asarray(audio[:, 0]), cfg))
+    snr_c = snr_db(ref_c.ravel(), out_c.ravel())
+    print(f"ZipEnhancer e2e SNR, branch-cut-free folded phase feature: {snr_c:.1f} dB")
+    assert snr_c >= 35.0
 
     # ---- 40 dB gate: everything after the analysis STFT, on shared features
     from audiojax.models import zipenhancer as ZM
