@@ -62,19 +62,29 @@ def _dense_block(sd, key, depth):
 def _repack_attn_in_proj(lin, num_heads: int, query_head_dim: int, pos_head_dim: int):
     """Checkpoint in_proj rows are [Q_allheads | K_allheads | P_allheads]
     (/root/reference/ZipEnhancer/Export_ZipEnhancer.py:246-250, the eager
-    branch); our attention_weights consumes the export's per-head [q|k|p]
-    packing (:236-241), so repack rows head-major here — exactly what the
-    export's static preparation does when it builds onnx_in_proj_weight."""
+    branch); our attention_weights consumes contiguous lane-packed
+    [Q(H·q) | K(H·q) | P(H·stride)] with each head's P slot zero-padded to an
+    8-lane stride (nn/zipformer.py:attention_weights) — Q/K pass through in
+    checkpoint order, P columns spread onto the strided slots."""
+    from ..ops.attention_pallas import pos_stride  # local: avoid import cycle
+
     qd, pd, h = query_head_dim, pos_head_dim, num_heads
-    order = np.concatenate([
-        np.concatenate([np.arange(i * qd, (i + 1) * qd),
-                        h * qd + np.arange(i * qd, (i + 1) * qd),
-                        2 * h * qd + np.arange(i * pd, (i + 1) * pd)])
-        for i in range(h)
-    ])
-    out = {"w": lin["w"][:, order].copy()}
+    stride = pos_stride(pd)
+    w = lin["w"]
+    out_w = np.zeros((w.shape[0], h * (2 * qd + stride)), dtype=w.dtype)
+    out_w[:, : 2 * h * qd] = w[:, : 2 * h * qd]
+    out = {"w": out_w}
     if "b" in lin:
-        out["b"] = lin["b"][order].copy()
+        out["b"] = np.zeros((h * (2 * qd + stride),), dtype=lin["b"].dtype)
+    for i in range(h):
+        dst = 2 * h * qd + i * stride
+        src = 2 * h * qd + i * pd
+        out_w[:, dst : dst + pd] = w[:, src : src + pd]
+        if "b" in lin:
+            out["b"][2 * h * qd + i * stride : 2 * h * qd + i * stride + pd] = (
+                lin["b"][src : src + pd])
+    if "b" in lin:
+        out["b"][: 2 * h * qd] = lin["b"][: 2 * h * qd]
     return out
 
 

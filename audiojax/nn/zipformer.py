@@ -20,6 +20,7 @@ from jax import lax
 import numpy as np
 
 from . import core
+from ..ops.attention_pallas import pos_stride, relpos_scores
 
 __all__ = [
     "swoosh_l",
@@ -104,35 +105,46 @@ def _rel_index_np(s: int) -> np.ndarray:
 def attention_weights(p, x, pos, *, num_heads: int, query_head_dim: int, pos_head_dim: int):
     """RelPositionMultiheadAttentionWeights → softmax scores (N, H, S, S).
 
-    ``p['in_proj']`` maps C → H·(2·q + p) with per-head [q | k | p] blocks
-    (the export's packed layout); ``p['linear_pos']`` maps pos_emb → H·p.
+    ``p['in_proj']`` maps C → [Q(H·q) | K(H·q) | P(H·stride)] with each head's
+    P slot zero-padded from pos_head_dim to an 8-lane stride (the importer
+    pre-permutes the export's packed layout into this order,
+    importers/zipenhancer.py:_repack_attn_in_proj): q/k/pp below are
+    contiguous lane slices — no per-head gather/reshape materialisation and
+    no runtime pad; ``p['linear_pos']`` maps pos_emb → H·p.
     """
     n, s, _ = x.shape
-    proj = core.dense(p["in_proj"], x).reshape(n, s, num_heads, 2 * query_head_dim + pos_head_dim)
-    proj = jnp.swapaxes(proj, 1, 2)  # (N, H, S, ·)
-    q = proj[..., :query_head_dim]
-    k = proj[..., query_head_dim : 2 * query_head_dim]
-    pp = proj[..., 2 * query_head_dim :]
-
-    scores = jnp.einsum("nhik,nhjk->nhij", q, k, preferred_element_type=jnp.float32)
+    hd = num_heads * query_head_dim
+    stride = pos_stride(pos_head_dim)
+    proj = core.dense(p["in_proj"], x)  # (N, S, 2·H·D + H·stride)
+    # lane-packed (N, S, H·D) layouts — no (N, H, S, D) transpose: H·D = 128
+    # at the model shape, so the fused kernel's VMEM blocks pad-free (see
+    # ops/attention_pallas.py layout note)
+    q = proj[..., :hd]
+    k = proj[..., hd : 2 * hd]
+    pp = proj[..., 2 * hd :]  # (N, S, H·stride); slot tails are never read
 
     pe = core.dense(p["linear_pos"], pos)  # (2S−1, H·pos_head)
     pe = pe.reshape(-1, num_heads, pos_head_dim)
     # gather the relative table into (S, S, H, P) BEFORE contracting: a few MB
-    # instead of the skew trick's (N, H, S, 2S−1) HBM monster
-    pe_mat = pe[jnp.asarray(_rel_index_np(s))]  # (S, S, H, P)
-    pos_scores = jnp.einsum("nhip,ijhp->nhij", pp, pe_mat, preferred_element_type=jnp.float32)
-    scores = scores + pos_scores
-    return jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # f32 softmax, compute-dtype out
+    # instead of the skew trick's (N, H, S, 2S−1) HBM monster; transpose to
+    # (H, P, S, S) so the fused kernel's table stays VMEM-resident
+    pe_mat = jnp.transpose(pe[jnp.asarray(_rel_index_np(s))], (2, 3, 0, 1))
+    # QKᵀ + positional bias + f32 softmax.  XLA's fused lowering measured at
+    # the floor for this stage on-chip: a one-HBM-pass Pallas kernel ties it
+    # standalone but loses in-context (see ops/attention_pallas.py and
+    # PROFILES.md) — so this dispatches to the jnp path everywhere.
+    return relpos_scores(q, k, pp, pe_mat, num_heads=num_heads)
 
 
 def self_attention(p, x, attn, *, num_heads: int):
-    """Apply shared attention weights to a value projection."""
+    """Apply shared attention weights to a value projection.
+
+    The einsum keeps values and outputs in lane-packed (N, S, H, V) layout —
+    no (N, H, S, V) transposes on either side of the mix."""
     n, s, _ = x.shape
     v = core.dense(p["in_proj"], x).reshape(n, s, num_heads, -1)
-    v = jnp.swapaxes(v, 1, 2)
-    y = jnp.einsum("nhij,nhjv->nhiv", attn, v, preferred_element_type=jnp.float32)
-    y = jnp.swapaxes(y, 1, 2).reshape(n, s, -1).astype(x.dtype)
+    y = jnp.einsum("nhij,njhv->nihv", attn, v, preferred_element_type=jnp.float32)
+    y = y.reshape(n, s, -1).astype(x.dtype)
     return core.dense(p["out_proj"], y)
 
 
@@ -222,7 +234,11 @@ def init_zipformer_layer(key, dim, *, num_heads=4, query_head_dim=32, pos_head_d
     }
     return {
         "attn": {
-            "in_proj": core.init_dense(ks[0], dim, num_heads * (2 * query_head_dim + pos_head_dim)),
+            # [Q | K | P] contiguous-lane packing; each head's P slot is
+            # stride-8 padded (tail columns unread — see attention_weights)
+            "in_proj": core.init_dense(
+                ks[0], dim,
+                num_heads * (2 * query_head_dim + pos_stride(pos_head_dim))),
             "linear_pos": core.init_dense(ks[1], pos_dim, num_heads * pos_head_dim, bias=False),
         },
         "ff1": ff(ks[2], ks[3]),

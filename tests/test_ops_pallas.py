@@ -120,6 +120,44 @@ def test_pallas_dwconv1d_matches_core_conv1d():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.parametrize("n,h,s,d,p", [
+    (7, 2, 33, 16, 4),   # n not divisible by the row block → padding path
+    (4, 4, 50, 32, 4),   # zipformer freq-path geometry (scaled down)
+    (3, 2, 21, 8, 2),
+    (3, 2, 21, 8, 9),    # pos dim past one 8-lane stride slot
+])
+def test_pallas_relpos_scores_matches_jnp(n, h, s, d, p):
+    """Fused QKᵀ+pos+softmax kernel ties the jnp lowering (interpret mode;
+    the kernel uses lane-packed (N, S, H·D) inputs — see the layout note in
+    ops/attention_pallas.py; on-chip precision is validated against an f64
+    reference separately since XLA's einsum lowering bf16-rounds operands)."""
+    from audiojax.ops.attention_pallas import (pos_stride, relpos_scores_jnp,
+                                               relpos_scores_pallas)
+
+    rng = np.random.default_rng(3)
+    stride = pos_stride(p)
+    q = jnp.asarray(rng.standard_normal((n, s, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((n, s, h * d)).astype(np.float32))
+    pp = rng.standard_normal((n, s, h, stride)).astype(np.float32)
+    pp[..., p:] = 0.0  # slot tails are zero-padded by the producer
+    pp = jnp.asarray(pp.reshape(n, s, h * stride))
+    # pre-round pe to bf16 so both paths see identical table values (the
+    # kernel keeps its resident copy in bf16; the jnp path upcasts exactly)
+    pe = jnp.asarray(rng.standard_normal((h, p, s, s)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    ref = np.asarray(relpos_scores_jnp(q, k, pp, pe, num_heads=h))
+    out = np.asarray(relpos_scores_pallas(q, k, pp, pe, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # rows sum to 1 (probabilities)
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+    # bf16 probs (the on-TPU default): identical math, output rounded once
+    out16 = np.asarray(relpos_scores_pallas(q, k, pp, pe, out_dtype=jnp.bfloat16,
+                                            interpret=True))
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(out16.astype(np.float32), ref, atol=4e-3)
+
+
 def test_quad_attention_pallas_large_s_falls_back():
     """When even one similarity tile cannot fit VMEM, quad_attention_pallas
     must return the jnp path result instead of failing Mosaic allocation."""
