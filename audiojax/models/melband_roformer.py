@@ -109,22 +109,29 @@ def _attention(p, x, rope, cfg: MelBandConfig):
     n, s, _ = x.shape
     h, dh = cfg.heads, cfg.dim_head
     normed = rms_norm(p["norm"], x, eps=0.0)
+    # lane-packed (N, S, H, D) throughout — to_qkv's output columns are
+    # already [Q | K | V] blocks, so q/k/v are contiguous slices, and the
+    # einsums below keep the head axis in lanes: no (N, H, S, D) transposes
+    # on either side of the mix (same measured win as ZipEnhancer's
+    # attention repack, PROFILES.md).
     qkv = core.dense(p["to_qkv"], normed).reshape(n, s, 3, h, dh)
     gates = jax.nn.sigmoid(core.dense(p["to_gates"], normed))  # (n, s, heads)
-    q, k, v = [jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3)]  # (n, h, s, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (n, s, h, dh)
     # RoPE with rotate-half as a matmul against a constant signed pair-swap
     # matrix (exact; lane-interleave shuffles are ~10× slower on TPU — see
-    # nn.mossformer.rope_mm_tables).
+    # nn.mossformer.rope_mm_tables).  cos/sin are (S, D): broadcast over the
+    # interior head axis.
     cos, sin, swap = rope
-    q = q * cos + (q @ swap) * sin
-    k = k * cos + (k @ swap) * sin
+    cos_b, sin_b = cos[:, None, :], sin[:, None, :]
+    q = q * cos_b + (q @ swap) * sin_b
+    k = k * cos_b + (k @ swap) * sin_b
     attn = jax.nn.softmax(
-        jnp.einsum("nhik,nhjk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
+        jnp.einsum("nihk,njhk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
         axis=-1,
     ).astype(x.dtype)
-    out = jnp.einsum("nhij,nhjv->nhiv", attn, v,
+    out = jnp.einsum("nhij,njhv->nihv", attn, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    out = jnp.swapaxes(out, 1, 2) * gates[..., None]  # (n, s, h, dh)
+    out = out * gates[..., None]  # (n, s, h, dh)
     return core.dense(p["to_out"], out.reshape(n, s, h * dh))
 
 

@@ -115,18 +115,21 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
 
     # OffsetScale + RoPE, rotate-half as a matmul against a constant signed
     # pair-swap matrix (exact; lane-interleave shuffles are ~10× slower on
-    # TPU).  diag(γᵢ)·swap and βᵢ·swap are folded so each projection is one
-    # small MXU matmul plus fused elementwise ops — the (N, Q, 4, qk) f32
-    # intermediate never materializes.
+    # TPU).  The four per-projection diag(γᵢ)·swap matmuls are fused into ONE
+    # (qk → 4·qk) matmul — a single full-lane MXU dispatch instead of four
+    # quarter-width ones; the direct branch stays fused elementwise.
     cos_f, sin_f, swap = (a.astype(x.dtype)
                           for a in rope_mm_tables(q_len, cfg.mf_rot, cfg.mf_qk))
-    gamma_swap = p["gamma"][:, :, None] * swap  # (4, qk, qk) = diag(γᵢ) @ swap
+    d_qk = cfg.mf_qk
+    # (qk, 4·qk): block-column i is γᵢ·swap
+    gamma_swap = jnp.concatenate([p["gamma"][i] * swap for i in range(4)], axis=1)
     beta_swap = p["beta"] @ swap  # (4, qk)
+    swapped = qk @ gamma_swap  # (N, Q, 4·qk)
     projs = []
     for i in range(4):
         direct = qk * p["gamma"][i] + p["beta"][i]
-        swapped = qk @ gamma_swap[i] + beta_swap[i]
-        projs.append(direct * cos_f + swapped * sin_f)
+        sw = swapped[..., i * d_qk : (i + 1) * d_qk] + beta_swap[i]
+        projs.append(direct * cos_f + sw * sin_f)
     quad_q, lin_q, quad_k, lin_k = projs
 
     # local quadratic attention over the sequence axis; the global linear
@@ -140,16 +143,19 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
     att_hidden = jnp.einsum("nij,njv->niv", attn + sim_lin, hidden,
                             preferred_element_type=jnp.float32)
 
-    # cross-token attention over the fold axis, diagonal masked
-    qq = quad_q.reshape(b, bt, q_len, cfg.mf_qk).swapaxes(1, 2)  # (b, Q, BT, qk)
-    kk = quad_k.reshape(b, bt, q_len, cfg.mf_qk).swapaxes(1, 2)
-    hc = hidden.reshape(b, bt, q_len, cfg.mf_hidden).swapaxes(1, 2)
-    sim_c = jnp.einsum("bqik,bqjk->bqij", qq, kk, preferred_element_type=jnp.float32) / bt
+    # cross-token attention over the fold axis, diagonal masked.  The einsums
+    # index the (b, BT, Q, ·) layout directly — no swapaxes materialisation
+    # on either side (the cross output lands back in (b, BT, Q, v), which
+    # reshapes to (N, Q, v) for free).
+    qq = quad_q.reshape(b, bt, q_len, cfg.mf_qk)
+    kk = quad_k.reshape(b, bt, q_len, cfg.mf_qk)
+    hc = hidden.reshape(b, bt, q_len, cfg.mf_hidden)
+    sim_c = jnp.einsum("biqk,bjqk->bqij", qq, kk, preferred_element_type=jnp.float32) / bt
     attn_c = jnp.square(jax.nn.relu(sim_c))
     eye = jnp.eye(bt, dtype=bool)
     attn_c = jnp.where(eye, 0.0, attn_c)
-    cross = jnp.einsum("bqij,bqjv->bqiv", attn_c, hc, preferred_element_type=jnp.float32)
-    att_hidden = att_hidden + cross.swapaxes(1, 2).reshape(n, q_len, cfg.mf_hidden)
+    cross = jnp.einsum("bqij,bjqv->biqv", attn_c, hc, preferred_element_type=jnp.float32)
+    att_hidden = att_hidden + cross.reshape(n, q_len, cfg.mf_hidden)
     att_hidden = att_hidden.astype(hidden.dtype)  # back to compute dtype
 
     att_v, att_u = att_hidden[..., : cfg.mf_vdim], att_hidden[..., cfg.mf_vdim :]
