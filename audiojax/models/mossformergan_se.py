@@ -121,8 +121,11 @@ def mossformer_gau(p, x, cfg: MossFormerGanConfig, b: int):
     cos_f, sin_f, swap = (a.astype(x.dtype)
                           for a in rope_mm_tables(q_len, cfg.mf_rot, cfg.mf_qk))
     d_qk = cfg.mf_qk
-    # (qk, 4·qk): block-column i is γᵢ·swap
-    gamma_swap = jnp.concatenate([p["gamma"][i] * swap for i in range(4)], axis=1)
+    # (qk, 4·qk): block-column i is diag(γᵢ)·swap — γ scales ROWS (the input
+    # lane), matching the direct branch's qk*γᵢ; broadcasting over columns
+    # would scale each rotated lane by its pair partner's γ instead.
+    gamma_swap = jnp.concatenate(
+        [p["gamma"][i][:, None] * swap for i in range(4)], axis=1)
     beta_swap = p["beta"] @ swap  # (4, qk)
     swapped = qk @ gamma_swap  # (N, Q, 4·qk)
     projs = []

@@ -61,10 +61,15 @@ _KCHUNK_FULL_BASIS_BYTES = 5 << 20
 
 def _kchunk_geometry(rp: int, fb2: int, k_seg: int) -> tuple[int, int]:
     """(fc, kc) for the K-chunked kernels: full-width f-chunk when the basis
-    block fits ``_KCHUNK_FULL_BASIS_BYTES``, else 768 lanes; kc then fills
-    ``_F_CHUNK_BYTES``."""
+    block fits ``_KCHUNK_FULL_BASIS_BYTES``, else the widest 128-multiple
+    that keeps a single (rp, fc) block under that ceiling (bounded in ``rp``
+    too — off-zoo hops in the thousands would otherwise floor kc to 1 with an
+    unbounded block); kc then fills ``_F_CHUNK_BYTES``."""
     fc_full = -(-fb2 // 128) * 128
-    fc = fc_full if rp * fc_full * 4 <= _KCHUNK_FULL_BASIS_BYTES else min(fc_full, 768)
+    if rp * fc_full * 4 <= _KCHUNK_FULL_BASIS_BYTES:
+        fc = fc_full
+    else:
+        fc = min(fc_full, max(128, _KCHUNK_FULL_BASIS_BYTES // (rp * 4) // 128 * 128))
     kc = max(1, min(_F_CHUNK_BYTES // (rp * fc * 4), k_seg))
     return fc, kc
 
@@ -89,8 +94,11 @@ _BASIS_SAFE_BYTES = 18 << 20
 def pallas_supported(cfg: StftConfig) -> bool:
     """Padded-segment kernels cover any hop; geometries whose padded DFT
     basis exceeds ``_BASIS_SAFE_BYTES`` (Mel-Band 44.1 kHz) route to the
-    K-chunked variants instead of falling back — every zoo geometry fuses."""
-    return True
+    K-chunked variants instead of falling back — every zoo geometry fuses.
+    The only hard limit: a hop so large that even a minimum-width (rp, 128)
+    basis block exceeds the measured-safe single-block ceiling falls back to
+    the jnp path rather than compiling pathologically."""
+    return _row_pad(cfg.hop) * 128 * 4 <= _KCHUNK_FULL_BASIS_BYTES
 
 
 def fast_stft_packed(x, cfg: StftConfig):
