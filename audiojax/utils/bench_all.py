@@ -50,7 +50,11 @@ def _clip(shape, rate, seed=0):
 
 
 def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
-                quant: str | None = None, cfg_replace: dict | None = None) -> dict:
+                quant: str | None = None, cfg_replace: dict | None = None,
+                batch: int = 1) -> dict:
+    """``batch`` > 1 is THROUGHPUT mode: ``batch`` independent clips run in one
+    compiled call (the production-serving shape — concurrent requests batch on
+    the leading axis) and the reported RTF is amortized per clip."""
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +71,7 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
     man = spec.make_manifest(cfg)
     rc = man.runtime_config()
     w, ch, k = rc["INPUT_AUDIO_LENGTH"], rc["INPUT_CHANNELS"], rc["NUM_AUDIO_INPUTS"]
-    shape = (1, w) if ch == 1 else (1, ch, w)
+    shape = (batch, w) if ch == 1 else (batch, ch, w)
     inputs = [jnp.asarray(_clip(shape, rc["IN_SAMPLE_RATE"], seed=i)) for i in range(k)]
 
     params = spec.init_params(jax.random.PRNGKey(0), cfg)
@@ -133,11 +137,12 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
     elapsed = (time.perf_counter() - start) / iters
 
     duration = w / rc["IN_SAMPLE_RATE"]
-    rtf = elapsed / duration
+    rtf = elapsed / (duration * batch)  # amortized per clip in throughput mode
     base = BASELINES.get(name)
     row = {
         "model": name + (f"+{compute_dtype}" if compute_dtype else "")
-        + (f"+{quant}" if quant else ""),
+        + (f"+{quant}" if quant else "")
+        + (f"@bs{batch}" if batch != 1 else ""),
         "rtf": round(rtf, 6),
         "latency_ms": round(elapsed * 1e3, 3),
         "chunk_s": round(duration, 3),
@@ -177,6 +182,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--models", default=None, help="comma-separated subset")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clips per call (throughput mode; RTF amortized per clip)")
     ap.add_argument("--no-bf16", action="store_true", help="skip bf16-compute variants")
     ap.add_argument("--quant", default=None,
                     help="comma-separated quant plans (q8f32,q8dyn) benched for models "
@@ -192,7 +199,7 @@ def main(argv=None):
     for name in names:
         try:  # keep sweeping on any per-model failure (unknown names included)
             spec = registry.get(name)
-            row = bench_model(name, iters=args.iters)
+            row = bench_model(name, iters=args.iters, batch=args.batch)
         except Exception as e:
             row = {"model": name, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(row), flush=True)
@@ -203,7 +210,8 @@ def main(argv=None):
         # --no-bf16 skips only the bf16 variants, NOT the --quant rows
         if not args.no_bf16 and registry.has_compute_dtype(cfg):
             try:
-                row = bench_model(name, iters=args.iters, compute_dtype="bfloat16")
+                row = bench_model(name, iters=args.iters, compute_dtype="bfloat16",
+                                  batch=args.batch)
             except Exception as e:
                 row = {"model": f"{name}+bfloat16", "error": f"{type(e).__name__}: {e}"}
             print(json.dumps(row), flush=True)
@@ -218,7 +226,7 @@ def main(argv=None):
             if args.models or plan_for(name).quantize != "none":
                 for q in args.quant.split(","):
                     try:
-                        row = bench_model(name, iters=args.iters, quant=q)
+                        row = bench_model(name, iters=args.iters, quant=q, batch=args.batch)
                     except Exception as e:
                         row = {"model": f"{name}+{q}", "error": f"{type(e).__name__}: {e}"}
                     print(json.dumps(row), flush=True)

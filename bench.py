@@ -102,6 +102,15 @@ def run(smoke: bool = False) -> dict:
     results["melband_bf16"] = mb_row["rtf"]
     results["melband_vs_baseline"] = mb_row["vs_baseline"]
 
+    # throughput mode: 8 concurrent clips batched into ONE compiled call (the
+    # production serving shape — requests batch on the leading axis); RTF is
+    # amortized per clip, so this row shows what a loaded chip sustains
+    zshrink = ({"dense_depth": 1, "encoder_downsample": ((1, 1),)} if smoke else None)
+    tp_row = bench_model("zipenhancer", iters=iters_big, compute_dtype="bfloat16",
+                         cfg_replace=zshrink, batch=2 if smoke else 8)
+    results["zip_bs8"] = tp_row["rtf"]
+    results["zip_bs8_mfu"] = tp_row.get("mfu_pct")
+
     # streaming RTF: 64 ms blocks through the state-carry step, steps chained
     # on-device via the carried state (only the final transfer syncs)
     from audiojax.models.gtcrn import gtcrn_stream_init, gtcrn_stream_step
@@ -143,6 +152,8 @@ def run(smoke: bool = False) -> dict:
         "mossformer2_ss_bf16_vs_baseline": results["m2ss_vs_baseline"],
         "melband_bf16_rtf": round(results["melband_bf16"], 6),
         "melband_bf16_vs_baseline": results["melband_vs_baseline"],
+        "zipenhancer_bf16_bs8_rtf_per_clip": round(results["zip_bs8"], 6),
+        "zipenhancer_bf16_bs8_mfu_pct": results["zip_bs8_mfu"],
         "smoke": smoke,
         "chip": str(jax.devices()[0]),
     }

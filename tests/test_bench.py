@@ -21,8 +21,18 @@ def test_bench_smoke_runs_every_line():
     assert parsed["smoke"] is True
     assert parsed["unit"] == "RTF"
     for key in ("value", "vs_baseline", "gtcrn_rtf", "gtcrn_stream_rtf_64ms_blocks",
-                "mossformer2_se_bf16_rtf", "mossformer2_ss_bf16_rtf", "melband_bf16_rtf"):
+                "mossformer2_se_bf16_rtf", "mossformer2_ss_bf16_rtf", "melband_bf16_rtf",
+                "zipenhancer_bf16_bs8_rtf_per_clip"):
         assert parsed[key] > 0, key
+
+
+def test_bench_all_throughput_mode():
+    """batch>1 amortizes RTF per clip and labels the row."""
+    from audiojax.utils.bench_all import bench_model
+
+    row = bench_model("gtcrn", iters=1, batch=2)
+    assert row["model"] == "gtcrn@bs2"
+    assert row["rtf"] > 0
 
 
 def test_bench_all_row_shape():

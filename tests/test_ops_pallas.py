@@ -33,6 +33,28 @@ def test_pallas_supported_everywhere():
     assert all(pallas_supported(cfg) for cfg, _ in ZOO_GEOMETRIES)
 
 
+def test_offzoo_geometry_blocks_bounded():
+    """Off-zoo hops must never produce an unbounded per-step basis block: the
+    K-chunk geometry bounds fc by the padded hop width, and hops so large that
+    even a minimum-width block busts the measured-safe ceiling fall back to
+    the jnp path instead of compiling pathologically (ADVICE r3)."""
+    from audiojax.ops.stft_pallas import (_KCHUNK_FULL_BASIS_BYTES, _kchunk_geometry,
+                                          _row_pad, pallas_supported)
+
+    for hop in (1000, 3000, 4096, 6000, 10000):
+        rp = _row_pad(hop)
+        if not pallas_supported(StftConfig(4 * hop, hop)):
+            continue  # fell back: no kernel is built at all
+        for fb2 in (130, 2050, 8192):
+            fc, kc = _kchunk_geometry(rp, fb2, 4)
+            assert rp * fc * 4 <= _KCHUNK_FULL_BASIS_BYTES, (hop, fb2, fc)
+            assert fc % 128 == 0 and kc >= 1
+    # the truly unbounded case falls back
+    assert not pallas_supported(StftConfig(32768, 16384))
+    # zoo regression: Mel-Band keeps its exact full-frequency-width block
+    assert _kchunk_geometry(_row_pad(441), 2050, 5)[0] == 2176
+
+
 @pytest.mark.parametrize("cfg,length", ZOO_GEOMETRIES)
 def test_pallas_stft_matches_jnp(cfg, length):
     rng = np.random.default_rng(0)
