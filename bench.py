@@ -134,6 +134,34 @@ def run(smoke: bool = False) -> dict:
     np.asarray(out)  # true sync
     results["gtcrn_stream"] = (time.perf_counter() - t0) / (n_blocks * block / 16000.0)
 
+    # chip-side streaming tick: the SAME ticks chained in ONE lax.scan
+    # dispatch.  The host-loop row above issues one tunnel dispatch per tick
+    # and so measures relay RTT (observed swinging 0.0095→0.042 between runs
+    # with identical code); this row isolates the per-tick cost on the chip,
+    # which is what a host adjacent to the TPU would see.
+    blocks = jnp.stack([c[0] for c in chunks])[:, None, :]  # (n, 1, block)
+
+    @jax.jit
+    def chained(params, st0, blocks):
+        def body(st, blk):
+            st2, out = gtcrn_stream_step(params, st, blk, scfg)
+            return st2, out[:, -1]  # tiny per-tick tap; avoids stacking audio
+        return jax.lax.scan(body, st0, blocks)
+
+    st0 = gtcrn_stream_init(scfg)
+    _, outs = chained(sparams, st0, blocks)
+    np.asarray(outs)  # compile + sync
+    for _ in range(1 if smoke else 4):  # settle the new executable
+        _, outs = chained(sparams, st0, blocks)
+    np.asarray(outs)
+    reps = 1 if smoke else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, outs = chained(sparams, st0, blocks)
+    np.asarray(outs)
+    results["gtcrn_stream_chip"] = (
+        time.perf_counter() - t0) / (reps * n_blocks * block / 16000.0)
+
     return {
         "metric": "ZipEnhancer RTF (60s clip, 1.5s fold windows, f32)",
         "value": round(results["zipenhancer"], 6),
@@ -145,6 +173,7 @@ def run(smoke: bool = False) -> dict:
         "gtcrn_rtf": round(results["gtcrn"], 6),
         "gtcrn_vs_baseline": round(BASELINES["gtcrn"] / results["gtcrn"], 2),
         "gtcrn_stream_rtf_64ms_blocks": round(results["gtcrn_stream"], 6),
+        "gtcrn_stream_chip_rtf_64ms_blocks": round(results["gtcrn_stream_chip"], 6),
         "mossformer2_se_bf16_rtf": round(results["m2se_bf16"], 6),
         "mossformer2_se_bf16_vs_baseline": round(
             BASELINES["mossformer2_se"] / results["m2se_bf16"], 2),
