@@ -1,3 +1,4 @@
+from .aot import attach_graph, has_graph, load_compiled
 from .audio_io import read_audio, read_wav, register_decoder, resample_np, to_mono, write_wav
 from .checkpoint import load_artifact, save_artifact
 from .manifest import Manifest, validate_manifest_dict
@@ -7,6 +8,9 @@ from .streaming import StreamingServer, StreamingSession
 
 __all__ = [
     "Manifest",
+    "attach_graph",
+    "has_graph",
+    "load_compiled",
     "PLANS",
     "Plan",
     "Session",

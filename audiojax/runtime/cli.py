@@ -42,6 +42,9 @@ def main(argv=None):
                     help="activation compute dtype for models that support it "
                          "(bf16 with f32 DSP islands — the reference's fp16-plan analog)")
     ap.add_argument("--block-hops", type=int, default=4, help="streaming block size in hops")
+    ap.add_argument("--aot", action="store_true",
+                    help="serve from the artifact's serialized graph (graph.stablehlo, "
+                         "written by export --aot) instead of re-tracing model Python")
     ap.add_argument("--list", action="store_true", help="list registered models")
     args = ap.parse_args(argv)
 
@@ -168,7 +171,18 @@ def main(argv=None):
     # pre-cast f32 leaves to the config's compute dtype once (no-op for f32
     # configs and for quantized artifacts — see prepare_compute_params)
     params = registry.prepare_compute_params(params, cfg, spec)
-    session = Session(wrap_forward(spec.make_forward(cfg), manifest), params, manifest)
+    if args.aot:
+        from . import aot
+
+        if not args.artifact or not aot.has_graph(args.artifact):
+            print("--aot needs an --artifact containing a serialized graph "
+                  "(export with `python -m audiojax.runtime.export … --aot`)",
+                  file=sys.stderr)
+            return 2
+        fwd = aot.load_compiled(args.artifact, params)  # plan wrap is in-graph
+    else:
+        fwd = wrap_forward(spec.make_forward(cfg), manifest)
+    session = Session(fwd, params, manifest)
     result = session.process(*audios)
 
     out_base = Path(args.output) if args.output else _default_out(inputs[0], f".{spec.name}.wav")

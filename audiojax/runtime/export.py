@@ -20,13 +20,20 @@ __all__ = ["export_artifact"]
 
 
 def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
-                    smoke: bool = True, import_kwargs=None, compute_dtype=None):
+                    smoke: bool = True, import_kwargs=None, compute_dtype=None,
+                    aot: bool = False):
     """checkpoint (path or state dict) → artifact dir; returns a report dict.
 
     ``compute_dtype`` ("bfloat16") selects the model's activation compute
     dtype and is RECORDED in the manifest (``activation_compute_dtype``) so
     the serving CLI reproduces it when loading the artifact — the analog of
     the reference deploying a distinct fp16 ONNX file.
+
+    ``aot=True`` additionally serializes the traced serving graph (StableHLO,
+    ``runtime/aot.py``) into the artifact so a host can serve it without the
+    model's Python — the reference's artifact-IS-the-graph property
+    (/root/reference/README.md:16-28).  The graph is traced over the SERVED
+    function (plan dequant/upcast included) and the served params layout.
     """
     import dataclasses
 
@@ -81,6 +88,14 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
 
         params, manifest = load_artifact(out_dir)  # smoke what's on disk
 
+    if aot:
+        from . import aot as _aot
+
+        served_params = registry.prepare_compute_params(params, cfg, spec)
+        _aot.attach_graph(out_dir, wrap_forward(spec.make_forward(cfg), manifest),
+                          served_params, manifest)
+        report["aot"] = str(out_dir / _aot.GRAPH_META)
+
     if smoke:
         # the reference runs the real inference script on a Test_Examples wav
         # after every export; here: synthetic int16 inputs through the Session
@@ -115,13 +130,17 @@ def main(argv=None):
     ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None,
                     help="activation compute dtype, recorded in the manifest")
     ap.add_argument("--no-smoke", action="store_true", help="skip the inference smoke test")
+    ap.add_argument("--aot", action="store_true",
+                    help="serialize the traced serving graph (StableHLO) into the "
+                         "artifact; the CLI then serves it with --aot, no model "
+                         "Python needed")
     args = ap.parse_args(argv)
     if args.plan and args.plan not in PLANS:
         ap.error(f"unknown plan {args.plan!r}; available: {sorted(PLANS)}")
     plan = PLANS[args.plan] if args.plan else None
     report = export_artifact(args.model, args.checkpoint, args.out,
                              plan=plan, smoke=not args.no_smoke,
-                             compute_dtype=args.compute_dtype)
+                             compute_dtype=args.compute_dtype, aot=args.aot)
     print(json.dumps(report))
     return 0
 
