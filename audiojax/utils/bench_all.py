@@ -127,14 +127,19 @@ def bench_model(name: str, *, iters: int, compute_dtype: str | None = None,
         np.asarray(o[(0,) * (o.ndim - 1) + (slice(0, 4),)])
     # timed: queue iters executions on the device stream, sync once at the end
     # (single-chip execution is serialized; block_until_ready is async under
-    # the axon tunnel, so the host transfer is the true sync)
-    start = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = run_once()
-    for o in last:
-        np.asarray(o[(0,) * (o.ndim - 1) + (slice(0, 4),)])
-    elapsed = (time.perf_counter() - start) / iters
+    # the axon tunnel, so the host transfer is the true sync).  Three passes,
+    # MINIMUM reported: tunnel noise is strictly additive (relay stalls only
+    # inflate a pass), and single-pass sub-5 ms rows swing ±2× run-to-run.
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            last = run_once()
+        for o in last:
+            np.asarray(o[(0,) * (o.ndim - 1) + (slice(0, 4),)])
+        best = min(best, time.perf_counter() - start)
+    elapsed = best / iters
 
     duration = w / rc["IN_SAMPLE_RATE"]
     rtf = elapsed / (duration * batch)  # amortized per clip in throughput mode

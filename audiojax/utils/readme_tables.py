@@ -122,13 +122,19 @@ def headline_table(line: dict) -> str:
          "0.32", line["vs_baseline"]),
         ("ZipEnhancer RTF (bf16 compute)", line["zipenhancer_bf16_rtf"],
          "—", line["zipenhancer_bf16_vs_baseline"]),
+        ("ZipEnhancer bf16 throughput (8 concurrent clips, per clip)",
+         line.get("zipenhancer_bf16_bs8_rtf_per_clip"), "—", None),
         ("GTCRN RTF (60 s clip, folds)", line["gtcrn_rtf"],
          "0.0036", line["gtcrn_vs_baseline"]),
-        ("GTCRN streaming RTF (64 ms blocks)", line["gtcrn_stream_rtf_64ms_blocks"],
-         "—", None),
+        ("GTCRN streaming RTF (64 ms blocks, host loop)",
+         line["gtcrn_stream_rtf_64ms_blocks"], "—", None),
+        ("GTCRN streaming RTF (64 ms ticks, chip-side scan)",
+         line.get("gtcrn_stream_chip_rtf_64ms_blocks"), "—", None),
     ]
     out = ["| Metric | audiojax | reference (CPU) | speedup |", "|---|---|---|---|"]
     for name, v, ref, speed in rows:
+        if v is None:  # older bench line without this row
+            continue
         s = f"{speed}×" if speed else f"{1.0 / v:.0f}× real-time"
         out.append(f"| {name} | **{_fmt_rtf(v)}** | {ref} | {s} |")
     return "\n".join(out)

@@ -26,10 +26,13 @@ import numpy as np
 from audiojax.utils.bench_all import BASELINES, _clip  # single canonical baselines dict
 
 
-def _bench_model(fn, params, audio, iters: int) -> float:
+def _bench_model(fn, params, audio, iters: int, repeats: int = 3) -> float:
     from audiojax.utils import measure_rtf
 
-    return measure_rtf(fn, params, audio, sample_rate=16000, iters=iters)["latency_s"]
+    # min-of-3 passes: tunnel noise is strictly additive, and single-pass
+    # sub-5 ms rows have been observed swinging ±2× run-to-run
+    return measure_rtf(fn, params, audio, sample_rate=16000, iters=iters,
+                       repeats=repeats)["latency_s"]
 
 
 def run(smoke: bool = False) -> dict:
@@ -128,11 +131,14 @@ def run(smoke: bool = False) -> dict:
     for chnk in chunks[:settle]:  # settle: the tunnel pays ~30 ms/call for the
         state, out = step(sparams, state, chnk, scfg)  # first ~10 executions
     np.asarray(out[0, :8])
-    t0 = time.perf_counter()
-    for chnk in chunks:
-        state, out = step(sparams, state, chnk, scfg)
-    np.asarray(out)  # true sync
-    results["gtcrn_stream"] = (time.perf_counter() - t0) / (n_blocks * block / 16000.0)
+    best = float("inf")  # min-of-3: this row measures per-dispatch relay RTT,
+    for _ in range(1 if smoke else 3):  # which swings 3× between passes
+        t0 = time.perf_counter()
+        for chnk in chunks:
+            state, out = step(sparams, state, chnk, scfg)
+        np.asarray(out)  # true sync
+        best = min(best, time.perf_counter() - t0)
+    results["gtcrn_stream"] = best / (n_blocks * block / 16000.0)
 
     # chip-side streaming tick: the SAME ticks chained in ONE lax.scan
     # dispatch.  The host-loop row above issues one tunnel dispatch per tick
@@ -154,13 +160,13 @@ def run(smoke: bool = False) -> dict:
     for _ in range(1 if smoke else 4):  # settle the new executable
         _, outs = chained(sparams, st0, blocks)
     np.asarray(outs)
-    reps = 1 if smoke else 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    best = float("inf")
+    for _ in range(1 if smoke else 3):
+        t0 = time.perf_counter()
         _, outs = chained(sparams, st0, blocks)
-    np.asarray(outs)
-    results["gtcrn_stream_chip"] = (
-        time.perf_counter() - t0) / (reps * n_blocks * block / 16000.0)
+        np.asarray(outs)
+        best = min(best, time.perf_counter() - t0)
+    results["gtcrn_stream_chip"] = best / (n_blocks * block / 16000.0)
 
     return {
         "metric": "ZipEnhancer RTF (60s clip, 1.5s fold windows, f32)",

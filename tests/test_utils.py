@@ -209,3 +209,18 @@ def test_q8dyn_gru_model_serves():
     audio = jnp.zeros((1, 4096), jnp.int16)
     out = gtcrn_forward(qparams, audio, cfg)  # must trace + run, not TypeError
     assert out.shape == (1, 4096)
+
+
+def test_ss_profile_stage_targets_exist():
+    """ss_profile's stage map must point at live bindings: every (module,
+    attr) pair resolves to a callable whose stub accepts the same leading
+    (params, x) shape, so a rename can't silently break the profiler."""
+    import audiojax.models.mossformer2_ss as SS
+    from audiojax.utils.ss_profile import build_stages
+
+    stages = build_stages(SS.MossFormer2SsConfig())
+    assert {s.name for s in stages} == {
+        "flash_layers", "fsmn_layers", "dw_convs", "scale_norms",
+        "instance_norms"}
+    for st in stages:
+        assert callable(getattr(st.module, st.attr)), st.name
