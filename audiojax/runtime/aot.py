@@ -8,8 +8,18 @@ artifacts (params.msgpack + manifest.json) re-trace the model's Python at
 load; this module closes that gap TPU-natively with ``jax.export``: the
 traced computation is serialized (portable StableHLO bytes) into the
 artifact, and :func:`load_compiled` rebuilds a servable callable from the
-bytes alone — a serving host needs ``audiojax.runtime`` + jax, not
-``audiojax.models``.
+bytes alone.
+
+Scope of the no-model-Python property: a host using the LIBRARY API
+(``load_artifact`` + :func:`prepare_for_graph` + :func:`load_compiled` +
+``Session``) needs ``audiojax.runtime`` + jax, never ``audiojax.models`` —
+``graph.json`` records the compute dtype the served params were prepared to,
+and :func:`prepare_for_graph` reproduces that preparation generically (the
+params fingerprint check fails closed for the rare models whose preparation
+is not a uniform cast).  The CLI's ``--aot`` flag, by contrast, still
+resolves the model spec for its shared config/manifest plumbing; it serves
+the serialized graph instead of re-tracing, but does import the model
+module.
 
 Shape policy — the window-batch axis is exported SYMBOLIC (jax.export shape
 polymorphism), so ONE serialized graph serves any clip length through the
@@ -34,7 +44,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-__all__ = ["attach_graph", "load_compiled", "has_graph", "GRAPH_FILE", "GRAPH_META"]
+__all__ = ["attach_graph", "load_compiled", "has_graph", "prepare_for_graph",
+           "GRAPH_FILE", "GRAPH_META"]
 
 GRAPH_FILE = "graph.stablehlo"
 GRAPH_META = "graph.json"
@@ -90,18 +101,34 @@ def export_graph(model_fn, params, manifest, *, platforms=None,
         blobs["poly"] = exp.serialize()
     except Exception as e:  # noqa: BLE001 — fall back to static batches
         symbolic_error = f"{type(e).__name__}: {e}"
-        for n in (static_batches or (1, 2, 4, 8, 16)):
+        # `None` means "use the defaults"; an explicit empty sequence is a
+        # user error, surfaced below rather than silently substituted
+        batches = (1, 2, 4, 8, 16) if static_batches is None else tuple(static_batches)
+        for n in batches:
             avals = _audio_avals(manifest, int(n))
             exp = jexport.export(jax.jit(model_fn), **kw)(param_avals, *avals)
             blobs[f"b{int(n)}"] = exp.serialize()
+    if not blobs:
+        raise ValueError(
+            "aot export produced no graphs: the symbolic-batch trace failed "
+            f"({symbolic_error}) and static_batches is empty")
     meta = {
         "format": "jax.export/stablehlo",
         "platforms": list(exp.platforms),
         "batch_mode": "poly" if "poly" in blobs else "static",
         "max_batch": int(max_batch) if "poly" in blobs else None,
         "batches": sorted(blobs),
+        # admissible window batches, visible at export time: poly graphs
+        # accept 1..max_batch, static graphs exactly the listed sizes
+        "admissible_batches": (f"1..{int(max_batch)}" if "poly" in blobs
+                               else sorted(int(t[1:]) for t in blobs)),
         "symbolic_fallback_error": symbolic_error,
         "params_fingerprint": _params_fingerprint(params),
+        # the compute dtype the served params were prepared to (None = as
+        # stored); lets a model-Python-free host reproduce the preparation
+        # via prepare_for_graph
+        "params_compute_dtype": (getattr(manifest, "extra", None) or {}).get(
+            "activation_compute_dtype"),
         "jax_version": jax.__version__,
     }
     return blobs, meta
@@ -113,6 +140,11 @@ def attach_graph(artifact_dir, model_fn, params, manifest, *, platforms=None,
     artifact_dir = Path(artifact_dir)
     blobs, meta = export_graph(model_fn, params, manifest, platforms=platforms,
                                static_batches=static_batches, max_batch=max_batch)
+    # drop blobs from any previous export first: re-exporting static over a
+    # prior poly export (or vice versa) must not leave stale graph bytes a
+    # host could deserialize by hand
+    for old in artifact_dir.glob(GRAPH_FILE + "*"):
+        old.unlink()
     for tag, blob in blobs.items():
         (artifact_dir / f"{GRAPH_FILE}.{tag}" if tag != "poly"
          else artifact_dir / GRAPH_FILE).write_bytes(blob)
@@ -122,6 +154,26 @@ def attach_graph(artifact_dir, model_fn, params, manifest, *, platforms=None,
 
 def has_graph(artifact_dir) -> bool:
     return (Path(artifact_dir) / GRAPH_META).is_file()
+
+
+def prepare_for_graph(params, artifact_dir):
+    """Model-Python-free analog of ``registry.prepare_compute_params``: cast
+    f32 param leaves to the compute dtype recorded in ``graph.json`` (no-op
+    when none was recorded, and for quantized {'q8','scale'} trees whose
+    dtypes are part of the dequant contract).  For the rare models whose
+    preparation is not a uniform cast (a ``spec.prepare_params`` override),
+    the resulting fingerprint mismatch makes :func:`load_compiled` fail
+    closed with a re-export instruction rather than serve wrong numerics."""
+    meta = json.loads((Path(artifact_dir) / GRAPH_META).read_text())
+    dtype = meta.get("params_compute_dtype")
+    if not dtype:
+        return params
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(target)
+        if jnp.result_type(x) == jnp.float32 else x, params)
 
 
 def load_compiled(artifact_dir, params):
@@ -144,7 +196,10 @@ def load_compiled(artifact_dir, params):
             f"{meta['params_fingerprint'][:12]}… vs {fp[:12]}…); re-export with "
             "attach_graph")
     backend = jax.default_backend()
-    if backend not in meta["platforms"]:
+    # jax.export stores LOWERING platform names ('cuda'/'rocm'), while
+    # default_backend() reports the coarser 'gpu' — map before the check
+    lowering_names = {"gpu": ("cuda", "rocm")}.get(backend, (backend,))
+    if not set(lowering_names) & set(meta["platforms"]):
         raise ValueError(
             f"aot graph exported for platforms {meta['platforms']}, but the "
             f"current backend is {backend!r}; re-export on (or for) this "

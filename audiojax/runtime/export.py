@@ -92,9 +92,17 @@ def export_artifact(model_name: str, ckpt, out_dir, *, cfg=None, plan=None,
         from . import aot as _aot
 
         served_params = registry.prepare_compute_params(params, cfg, spec)
-        _aot.attach_graph(out_dir, wrap_forward(spec.make_forward(cfg), manifest),
-                          served_params, manifest)
-        report["aot"] = str(out_dir / _aot.GRAPH_META)
+        meta_path = _aot.attach_graph(
+            out_dir, wrap_forward(spec.make_forward(cfg), manifest),
+            served_params, manifest)
+        report["aot"] = str(meta_path)
+        import json as _json
+
+        _meta = _json.loads(meta_path.read_text())
+        # make the serving bound visible at export time (a clip longer than
+        # the admissible window batch only fails at serve time otherwise)
+        report["aot_batch_mode"] = _meta["batch_mode"]
+        report["aot_admissible_batches"] = _meta["admissible_batches"]
 
     if smoke:
         # the reference runs the real inference script on a Test_Examples wav

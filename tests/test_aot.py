@@ -110,6 +110,84 @@ def test_static_fallback_dispatch(tmp_path):
         compiled(params, _windows(manifest, 3))
 
 
+def test_reexport_drops_stale_blobs(gtcrn_artifact, tmp_path):
+    """Re-exporting in the other batch mode must not leave the previous
+    export's graph bytes in the artifact (a host could deserialize them by
+    hand and serve a stale graph)."""
+    path, fn, params, manifest = gtcrn_artifact
+    art = tmp_path / "art"
+    art.mkdir()
+    for f in path.iterdir():
+        (art / f.name).write_bytes(f.read_bytes())
+    assert (art / aot.GRAPH_FILE).is_file()  # poly blob from the fixture
+
+    def stubborn(params, audio):
+        int(audio.shape[0])
+        return fn(params, audio)
+
+    aot.attach_graph(art, stubborn, params, manifest, static_batches=(1,))
+    assert not (art / aot.GRAPH_FILE).exists()  # stale poly blob removed
+    assert (art / f"{aot.GRAPH_FILE}.b1").is_file()
+    # and back: static blobs removed by a poly re-export
+    aot.attach_graph(art, fn, params, manifest)
+    assert (art / aot.GRAPH_FILE).is_file()
+    assert not list(art.glob(aot.GRAPH_FILE + ".b*"))
+
+
+def test_empty_static_batches_is_an_error(gtcrn_artifact, tmp_path):
+    """An explicit empty static-batch list must not silently substitute the
+    defaults — and must not write a graphless meta."""
+    path, fn, params, manifest = gtcrn_artifact
+
+    def stubborn(params, audio):
+        int(audio.shape[0])
+        return fn(params, audio)
+
+    with pytest.raises(ValueError, match="static_batches is empty"):
+        aot.attach_graph(tmp_path, stubborn, params, manifest, static_batches=())
+    assert not (tmp_path / aot.GRAPH_META).exists()
+
+
+def test_gpu_backend_name_maps_to_lowering_platforms(gtcrn_artifact, tmp_path, monkeypatch):
+    """jax.export stores lowering platform names ('cuda'/'rocm'); a host whose
+    default_backend() reports 'gpu' must not be refused a cuda-exported graph
+    — while a tpu-only graph still is."""
+    path, fn, params, manifest = gtcrn_artifact
+    clone = tmp_path / "art"
+    clone.mkdir()
+    for f in path.iterdir():
+        (clone / f.name).write_bytes(f.read_bytes())
+    meta = json.loads((clone / aot.GRAPH_META).read_text())
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+    meta["platforms"] = ["cuda"]
+    (clone / aot.GRAPH_META).write_text(json.dumps(meta))
+    aot.load_compiled(clone, params)  # must not raise at load time
+    meta["platforms"] = ["tpu"]
+    (clone / aot.GRAPH_META).write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="platform"):
+        aot.load_compiled(clone, params)
+
+
+def test_prepare_for_graph_reproduces_compute_dtype(gtcrn_artifact, tmp_path):
+    """graph.json records the served params' compute dtype; prepare_for_graph
+    reproduces the host-side cast without the model's config class."""
+    path, fn, params, manifest = gtcrn_artifact
+    clone = tmp_path / "art"
+    clone.mkdir()
+    for f in path.iterdir():
+        (clone / f.name).write_bytes(f.read_bytes())
+    meta = json.loads((clone / aot.GRAPH_META).read_text())
+    assert meta["params_compute_dtype"] is None  # f32 artifact
+    assert aot.prepare_for_graph(params, clone) is params  # no-op
+
+    meta["params_compute_dtype"] = "bfloat16"
+    (clone / aot.GRAPH_META).write_text(json.dumps(meta))
+    prepared = aot.prepare_for_graph(params, clone)
+    dtypes = {str(jnp.result_type(l)) for l in jax.tree.leaves(prepared)}
+    assert "float32" not in dtypes
+    assert "bfloat16" in dtypes
+
+
 def test_two_input_model_graph(tmp_path):
     """AEC models (two audio inputs) export/serve through the same path."""
     import dataclasses
