@@ -80,10 +80,15 @@ class MossFormerGanConfig:
 
 def _ffconvm_fused(p, x, dw_kernel: int):
     """Fused to_u‖to_v FFConvM: affine-free LN → Linear → SiLU → depthwise
-    conv residual (Export_MossFormer_SE.py:654-658)."""
+    conv residual (Export_MossFormer_SE.py:654-658).
+
+    The depthwise conv takes the banded-GEMM route under bf16 (with the FSMN
+    memory convs below, the largest single win of the GAN stage profile:
+    110.7 → 90.4 ms full-forward — ops/dwconv_banded.py)."""
     h = core.layer_norm(None, x)
     h = jax.nn.silu(core.dense(p["lin"], h))
-    return h + core.conv1d(p["conv"], h, padding=(dw_kernel - 1) // 2, groups=h.shape[-1])
+    return h + core.conv1d(p["conv"], h, padding=(dw_kernel - 1) // 2,
+                           groups=h.shape[-1], dw_route="banded")
 
 
 def _uni_fsmn(p, x, lorder: int):
@@ -91,7 +96,8 @@ def _uni_fsmn(p, x, lorder: int):
     depthwise memory + inner residual."""
     f1 = jax.nn.relu(core.dense(p["lin"], x))
     p1 = core.dense(p["proj"], f1)
-    mem = core.conv1d(p["mem"], p1, padding=lorder - 1, groups=p1.shape[-1])
+    mem = core.conv1d(p["mem"], p1, padding=lorder - 1, groups=p1.shape[-1],
+                      dw_route="banded")
     return x + p1 + mem
 
 
@@ -268,7 +274,8 @@ def _dense_fsmn_block(p, x, depth: int, lorder: int):
         h = core.prelu(lp["act"], h)
         f1 = jax.nn.relu(core.conv2d(lp["fsmn_lin"], h))
         p1 = core.conv2d(lp["fsmn_proj"], f1)
-        mem = core.conv2d(lp["fsmn_mem"], p1, padding=(0, lorder - 1), groups=p1.shape[-1])
+        mem = core.conv2d(lp["fsmn_mem"], p1, padding=(0, lorder - 1),
+                          groups=p1.shape[-1], dw_route="banded")
         out = h + p1 + mem
         skip = jnp.concatenate([out, skip], axis=-1)
     return out

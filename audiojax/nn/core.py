@@ -193,10 +193,29 @@ def _grouped_single_out_conv1d(w, x, pads, dilation):
     return acc.astype(x.dtype)
 
 
-def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1):
-    """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout)."""
+def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int = 1,
+           dw_route: str | None = None):
+    """Channel-last 1-D convolution: x (B, T, Cin), w (k, Cin/groups, Cout).
+
+    ``dw_route="banded"`` asks for the per-channel banded-GEMM depthwise path
+    (``ops.dwconv_banded``) — a measured per-call-site hint, honored only
+    where it pays: true depthwise, stride/dilation 1, **bfloat16**
+    activations (under f32 the required HIGHEST-precision passes cancel the
+    MXU win — measured on the full MossFormerGAN forward, see the op's
+    docstring); anything else falls back to the automatic routes below.
+    """
     w = as_weight(p["w"])  # q8 leaves: fused dequant (convs stay float)
     taps = w.shape[0] * w.shape[1]
+    if (dw_route == "banded" and groups > 1 and w.shape[1] == 1
+            and w.shape[2] == groups == x.shape[-1]
+            and stride == 1 and dilation == 1 and x.ndim == 3
+            and x.dtype == jnp.bfloat16):
+        from ..ops.dwconv_banded import dwconv1d_banded
+
+        y = dwconv1d_banded(x, w[:, 0, :], pads=_norm_pad(padding))
+        if "b" in p:
+            y = y + p["b"]
+        return y
     if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
             and x.size * w.shape[0] <= _DW_UNROLL_MAX_VOLUME):
@@ -239,10 +258,33 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
     return y
 
 
-def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1):
-    """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout)."""
+def conv2d(p, x, *, stride=(1, 1), padding=(0, 0), dilation=(1, 1), groups: int = 1,
+           dw_route: str | None = None):
+    """Channel-last 2-D convolution: x (B, H, W, Cin), w (kh, kw, Cin/groups, Cout).
+
+    ``dw_route="banded"``: (1, kw) true-depthwise convs over the W axis route
+    through the banded-GEMM path under bf16 (see :func:`conv1d`); otherwise
+    the automatic routes below apply.
+    """
     w = as_weight(p["w"])  # q8 leaves: fused dequant (convs stay float)
     taps = w.shape[0] * w.shape[1]
+    if (dw_route == "banded" and groups > 1 and w.shape[2] == 1
+            and w.shape[3] == groups == x.shape[-1] and w.shape[0] == 1
+            and tuple(stride) == (1, 1) and tuple(dilation) == (1, 1)
+            and x.ndim == 4 and x.dtype == jnp.bfloat16):
+        from ..ops.dwconv_banded import dwconv1d_banded
+
+        b, h, wd, c = x.shape
+        lo, hi = _norm_pad(padding[1])
+        ph = _norm_pad(padding[0])
+        if ph != (0, 0):
+            x = jnp.pad(x, [(0, 0), ph, (0, 0), (0, 0)])
+            h = x.shape[1]
+        y = dwconv1d_banded(x.reshape(b * h, wd, c), w[0, :, 0, :], pads=(lo, hi))
+        y = y.reshape(b, h, -1, c)
+        if "b" in p:
+            y = y + p["b"]
+        return y
     if (groups > 1 and w.shape[2] == 1 and w.shape[3] == groups == x.shape[-1]
             and tuple(stride) == (1, 1) and taps <= _DW_UNROLL_MAX_TAPS
             and x.size * taps <= _DW_UNROLL_MAX_VOLUME):

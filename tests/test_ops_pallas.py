@@ -142,6 +142,70 @@ def test_pallas_dwconv1d_matches_core_conv1d():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.parametrize("b,t,c,k,pads,dtype", [
+    (9, 98, 256, 31, (15, 15), "float32"),
+    (4, 238, 128, 39, (19, 19), "bfloat16"),
+    (3, 50, 96, 7, (0, 0), "float32"),    # C not a lane multiple (no Pallas analog)
+    (5, 33, 64, 20, (19, 0), "bfloat16"),  # asymmetric causal pad
+])
+def test_banded_dwconv1d_matches_f64(b, t, c, k, pads, dtype):
+    """ops/dwconv_banded vs a float64 numpy reference (the banded one-hot
+    build must place weights exactly; bf16 tolerance = input quantization)."""
+    from audiojax.ops.dwconv_banded import dwconv1d_banded
+
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((b, t, c)).astype(np.float32)
+    ws = rng.standard_normal((k, c)).astype(np.float32)
+    x = jnp.asarray(xs).astype(dtype)
+    w = jnp.asarray(ws).astype(dtype)
+    xp = np.pad(np.asarray(x, np.float64), [(0, 0), pads, (0, 0)])
+    t_out = t + sum(pads) - (k - 1)
+    ref = sum(xp[:, i : i + t_out, :] * np.asarray(w, np.float64)[i] for i in range(k))
+    out = np.asarray(dwconv1d_banded(x, w, pads=pads), np.float64)
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    tol = 2e-2 if dtype == "bfloat16" else 1e-5
+    np.testing.assert_allclose(out / scale, ref / scale, atol=tol)
+
+
+def test_banded_route_is_bf16_only_and_matches():
+    """core.conv1d(dw_route='banded'): bf16 inputs take the banded path with
+    the same outputs as the automatic route; f32 inputs are identical to not
+    passing the hint (the route is a no-op there by design)."""
+    from audiojax.nn import core
+
+    rng = np.random.default_rng(4)
+    x32 = jnp.asarray(rng.standard_normal((3, 40, 128)).astype(np.float32))
+    w32 = jnp.asarray(rng.standard_normal((9, 1, 128)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((128,)).astype(np.float32))
+    p32 = {"w": w32, "b": bias}
+    np.testing.assert_array_equal(
+        np.asarray(core.conv1d(p32, x32, padding=4, groups=128, dw_route="banded")),
+        np.asarray(core.conv1d(p32, x32, padding=4, groups=128)))
+
+    x16, p16 = x32.astype(jnp.bfloat16), core.cast_f32_tree(p32, jnp.bfloat16)
+    got = np.asarray(core.conv1d(p16, x16, padding=4, groups=128, dw_route="banded"),
+                     np.float32)
+    want = np.asarray(core.conv1d(p16, x16, padding=4, groups=128), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2 * np.abs(want).max())
+
+
+def test_banded_route_conv2d_freq_axis():
+    """conv2d(dw_route='banded') routes (1, kw) depthwise convs over the W
+    axis; outputs match the automatic route (bf16)."""
+    from audiojax.nn import core
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 9, 33, 64)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((1, 11, 1, 64)).astype(np.float32)).astype(jnp.bfloat16)
+    p = {"w": w}
+    got = np.asarray(core.conv2d(p, x, padding=(0, 5), groups=64, dw_route="banded"),
+                     np.float32)
+    want = np.asarray(core.conv2d(p, x, padding=(0, 5), groups=64), np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2 * np.abs(want).max())
+
+
 @pytest.mark.parametrize("n,h,s,d,p", [
     (7, 2, 33, 16, 4),   # n not divisible by the row block → padding path
     (4, 4, 50, 32, 4),   # zipformer freq-path geometry (scaled down)
