@@ -125,8 +125,18 @@ def _attention(p, x, rope, cfg: MelBandConfig):
     cos_b, sin_b = cos[:, None, :], sin[:, None, :]
     q = q * cos_b + (q @ swap) * sin_b
     k = k * cos_b + (k @ swap) * sin_b
+    # Under bf16 compute the scores + softmax stay bf16 on TPU: the f32
+    # score pipeline (f32 QKᵀ out, f32 softmax traffic on the (N,H,S,S)
+    # tensor) is exactly what made bf16 SLOWER than f32 for this family
+    # (stage ablation, v5e: attention +8.2 ms f32 → +10.8 ms bf16; with
+    # bf16 scores the full forward goes 18.2 → 15.7 ms, beating f32's
+    # 16.1).  Max-subtracted softmax is stable in bf16 and probs are
+    # bounded [0,1]; measured fidelity cost 0.9 dB on the 41.7 dB bf16
+    # plan.  CPU keeps the f32 pipeline (XLA:CPU has no bf16 dot thunks).
+    f32_scores = x.dtype == jnp.float32 or jax.default_backend() != "tpu"
+    acc = jnp.float32 if f32_scores else None
     attn = jax.nn.softmax(
-        jnp.einsum("nihk,njhk->nhij", q, k, preferred_element_type=jnp.float32) * dh**-0.5,
+        jnp.einsum("nihk,njhk->nhij", q, k, preferred_element_type=acc) * dh**-0.5,
         axis=-1,
     ).astype(x.dtype)
     out = jnp.einsum("nhij,njhv->nihv", attn, v,
