@@ -105,6 +105,29 @@ def run(smoke: bool = False) -> dict:
     results["melband_bf16"] = mb_row["rtf"]
     results["melband_vs_baseline"] = mb_row["vs_baseline"]
 
+    # MossFormerGAN-SE bf16 — tracks the banded-GEMM depthwise route win
+    # (ops/dwconv_banded.py, PROFILES.md)
+    if smoke:
+        # the manifest's 6 s chunk is far too big for a CPU smoke (XLA:CPU's
+        # grouped-conv lowering); one tiny fold window exercises the same code
+        from audiojax.models.mossformergan_se import (
+            MossFormerGanConfig, init_mossformergan, make_mossformergan)
+
+        gan_cfg = MossFormerGanConfig(n_blocks=1, dense_depth=1, fold_window=2400,
+                                      compute_dtype="bfloat16")
+        gan_fn = jax.jit(make_mossformergan(gan_cfg))
+        gan_p = prepare_compute_params(
+            init_mossformergan(jax.random.PRNGKey(0), gan_cfg), gan_cfg)
+        el = _bench_model(gan_fn, gan_p, clip(2400), iters=iters_big)
+        results["gan_bf16"] = el / (2400 / 16000.0)
+        results["gan_vs_baseline"] = round(BASELINES["mossformergan_se"]
+                                           / results["gan_bf16"], 2)
+    else:
+        gan_row = bench_model("mossformergan_se", iters=iters_big,
+                              compute_dtype="bfloat16")
+        results["gan_bf16"] = gan_row["rtf"]
+        results["gan_vs_baseline"] = gan_row["vs_baseline"]
+
     # throughput mode: 8 concurrent clips batched into ONE compiled call (the
     # production serving shape — requests batch on the leading axis); RTF is
     # amortized per clip, so this row shows what a loaded chip sustains
@@ -187,6 +210,8 @@ def run(smoke: bool = False) -> dict:
         "mossformer2_ss_bf16_vs_baseline": results["m2ss_vs_baseline"],
         "melband_bf16_rtf": round(results["melband_bf16"], 6),
         "melband_bf16_vs_baseline": results["melband_vs_baseline"],
+        "mossformergan_bf16_rtf": round(results["gan_bf16"], 6),
+        "mossformergan_bf16_vs_baseline": results["gan_vs_baseline"],
         "zipenhancer_bf16_bs8_rtf_per_clip": round(results["zip_bs8"], 6),
         "zipenhancer_bf16_bs8_mfu_pct": results["zip_bs8_mfu"],
         "smoke": smoke,

@@ -23,6 +23,7 @@ def test_bench_smoke_runs_every_line():
     for key in ("value", "vs_baseline", "gtcrn_rtf", "gtcrn_stream_rtf_64ms_blocks",
                 "gtcrn_stream_chip_rtf_64ms_blocks",
                 "mossformer2_se_bf16_rtf", "mossformer2_ss_bf16_rtf", "melband_bf16_rtf",
+                "mossformergan_bf16_rtf",
                 "zipenhancer_bf16_bs8_rtf_per_clip"):
         assert parsed[key] > 0, key
 
