@@ -25,18 +25,23 @@ def measure_rtf(fn, params, audio, *, sample_rate: int, iters: int = 20,
     nothing deflates one), so the min is the robust steady-state estimator —
     single-pass sub-5 ms rows have been observed swinging ±2× run-to-run.
     """
+    def chain(y):
+        # multi-output models (separation, AEC+VAD) return tuples; the first
+        # output is audio-shaped like the input, so it carries the chain
+        return y[0] if isinstance(y, (tuple, list)) else y
+
     if warmup:
-        np.asarray(fn(params, audio))
+        np.asarray(chain(fn(params, audio)))
         x = audio
         for _ in range(settle):
-            x = fn(params, x)
+            x = chain(fn(params, x))
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 8),)])
     best = float("inf")
     x = audio
     for _ in range(max(repeats, 1)):
         start = time.perf_counter()
         for _ in range(iters):
-            x = fn(params, x)
+            x = chain(fn(params, x))
         np.asarray(x[(0,) * (x.ndim - 1) + (slice(0, 8),)])
         best = min(best, time.perf_counter() - start)
     elapsed = best / iters

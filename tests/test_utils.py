@@ -34,6 +34,19 @@ def test_measure_rtf_shapes():
     assert len(calls) == 16  # warmup + settle + 3
 
 
+def test_measure_rtf_multi_output_models():
+    """Separation/AEC+VAD forwards return tuples; the first output carries
+    the execution chain (regression: the MossFormer2-SS stage profiler
+    crashed feeding a tuple back as audio)."""
+
+    def fn(params, audio):
+        return audio, np.zeros((1, 3), np.float32)
+
+    audio = np.zeros((1, 16000), np.int16)
+    out = measure_rtf(fn, {}, audio, sample_rate=16000, iters=3, settle=0)
+    assert out["rtf"] > 0
+
+
 def test_quantize_roundtrip_and_size():
     import jax.numpy as jnp
     from audiojax.utils.quantize import dequantize_tree, quantize_tree, quantized_bytes
