@@ -217,6 +217,22 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
             y = y + p["b"]
         return y
     if (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
+            and stride == 1 and dilation == 1 and x.ndim == 3
+            and x.shape[-1] % 128 == 0 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
+            and x.shape[1] + sum(_norm_pad(padding)) > 512
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        # LONG-time-axis true depthwise under bf16: the time-tiled Pallas
+        # kernel (overlapping halo'd DMA strips, hundreds of small programs).
+        # Measured on the full MossFormer2-SS bf16 forward (T≈4000, v5e):
+        # 18.7 → 17.4 ms vs the lax/unroll routes; under f32 the same route
+        # LOSES 1.5× (25.5 → 38.3 ms) — hence the bf16-only gate, like the
+        # banded hint above.  Short time axes stay on the block-resident
+        # kernel below.
+        from ..ops.dwconv_pallas import dwconv1d_pallas_tiled
+
+        y = dwconv1d_pallas_tiled(x, w[:, 0, :], pads=_norm_pad(padding))
+    elif (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
             and x.size * w.shape[0] <= _DW_UNROLL_MAX_VOLUME):
         y = _dw_shift_conv(w, x, [_norm_pad(padding)], [dilation])

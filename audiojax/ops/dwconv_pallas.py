@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dwconv1d_pallas", "dwconv1d_jnp"]
+__all__ = ["dwconv1d_pallas", "dwconv1d_pallas_tiled", "dwconv1d_jnp"]
 
 
 def dwconv1d_jnp(x, w, *, pads=(0, 0)):
@@ -94,3 +94,79 @@ def dwconv1d_pallas(x, w, *, pads=(0, 0), block_rows: int = 8,
         interpret=interpret,
     )(xp, w)
     return out[:b]
+
+
+def _kernel_tiled(x_ref, w_ref, o_ref, scratch, sem, *, k, tile, n_rows):
+    """One program computes a (tile, 128) output block for one (batch row,
+    time tile, lane chunk): DMA the halo'd input strip from HBM into VMEM,
+    then the k-tap shifted accumulate (all slices at static sublane offsets)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    start = pl.multiple_of(ti * tile, 8)  # tile is a multiple of 8
+    dma = pltpu.make_async_copy(
+        x_ref.at[bi, pl.ds(start, n_rows), pl.ds(ci * 128, 128)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    rows = scratch[:]
+    acc = rows[0:tile].astype(jnp.float32) * w_ref[0]
+    for i in range(1, k):
+        acc = acc + rows[i : i + tile].astype(jnp.float32) * w_ref[i]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def dwconv1d_pallas_tiled(x, w, *, pads=(0, 0), tile: int = 256,
+                          interpret: bool = False):
+    """Long-time-axis twin of :func:`dwconv1d_pallas` (same contract).
+
+    The read-once kernel above blocks over (batch rows, lanes) with the whole
+    time axis resident in VMEM — at MossFormer2-SS geometries (T≈3000) that
+    degrades to one row per block and loses ~2.5× to lax.conv.  This variant
+    grids over (batch, overlapping time tiles, lane chunks): each program
+    manually DMAs a (tile + k - 1, 128) halo'd strip from HBM (overlapping
+    input windows are inexpressible with blocked BlockSpecs) and emits one
+    (tile, 128) output block, so hundreds of small programs pipeline instead
+    of a handful of megablocks.  Reference op: the ff_convm / uv_conv / FSMN
+    memory depthwise convs of
+    /root/reference/MossFormer2_SS_16K/Export_MossFormer2_SS_16K.py.
+    """
+    b, t, c = x.shape
+    k = w.shape[0]
+    lo, hi = pads
+    if c % 128 != 0:
+        raise ValueError(f"dwconv1d_pallas_tiled needs C % 128 == 0, got C={c}")
+    if tile % 8 != 0:
+        raise ValueError(f"tile must be a multiple of 8, got {tile}")
+    if w.shape != (k, c):
+        raise ValueError(f"weight shape {w.shape} != (k, {c})")
+    if w.dtype != x.dtype:
+        raise TypeError(f"conv dtype mismatch: x {x.dtype} vs w {w.dtype}")
+    t_out = t + lo + hi - (k - 1)
+    if t_out <= 0:
+        raise ValueError(f"non-positive output length {t_out}")
+    nt = -(-t_out // tile)
+    n_rows = -(-(tile + k - 1) // 8) * 8  # DMA strip length, sublane-aligned
+    # pad so every tile's halo'd strip exists: last DMA reads
+    # [(nt-1)·tile, (nt-1)·tile + n_rows)
+    xp = jnp.pad(x, [(0, 0), (lo, (nt - 1) * tile + n_rows - t - lo), (0, 0)])
+
+    wf = w.astype(jnp.float32)  # taps are broadcast scalars per lane; keep f32
+    out = pl.pallas_call(
+        partial(_kernel_tiled, k=k, tile=tile, n_rows=n_rows),
+        grid=(b, nt, c // 128),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k, 128), lambda bi, ti, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, 128), lambda bi, ti, ci: (bi, ti, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nt * tile, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wf)
+    return out[:, :t_out]

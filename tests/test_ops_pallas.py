@@ -142,6 +142,29 @@ def test_pallas_dwconv1d_matches_core_conv1d():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.parametrize("b,t,c,k,pads,dtype,tile", [
+    (2, 1000, 256, 17, (8, 8), "bfloat16", 256),   # SS ff_convm geometry
+    (2, 777, 128, 20, (19, 0), "float32", 128),    # asym causal, t_out % tile != 0
+    (1, 520, 128, 7, (3, 3), "bfloat16", 512),     # single tile covers all
+])
+def test_pallas_dwconv1d_tiled_matches_f64(b, t, c, k, pads, dtype, tile):
+    """Time-tiled kernel (halo'd DMA strips) vs a float64 numpy reference."""
+    from audiojax.ops.dwconv_pallas import dwconv1d_pallas_tiled
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32)).astype(dtype)
+    xp = np.pad(np.asarray(x, np.float64), [(0, 0), pads, (0, 0)])
+    t_out = t + sum(pads) - (k - 1)
+    ref = sum(xp[:, i : i + t_out, :] * np.asarray(w, np.float64)[i] for i in range(k))
+    out = np.asarray(dwconv1d_pallas_tiled(x, w, pads=pads, tile=tile,
+                                           interpret=True), np.float64)
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    tol = 2e-2 if dtype == "bfloat16" else 1e-5
+    np.testing.assert_allclose(out / scale, ref / scale, atol=tol)
+
+
 @pytest.mark.parametrize("b,t,c,k,pads,dtype", [
     (9, 98, 256, 31, (15, 15), "float32"),
     (4, 238, 128, 39, (19, 19), "bfloat16"),
