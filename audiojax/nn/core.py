@@ -232,6 +232,24 @@ def conv1d(p, x, *, stride: int = 1, padding=0, dilation: int = 1, groups: int =
         from ..ops.dwconv_pallas import dwconv1d_pallas_tiled
 
         y = dwconv1d_pallas_tiled(x, w[:, 0, :], pads=_norm_pad(padding))
+    elif (groups > 1 and w.shape[1] == 2 and w.shape[2] == groups
+            and x.shape[-1] == 2 * groups and stride == 1 and x.ndim == 3
+            and groups % 128 == 0 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
+            and x.shape[1] + sum(_norm_pad(padding)) > 512
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        # LONG-time-axis grouped 2-in/1-out convs (the SS dilated dense-FSMN
+        # memory, (39, 2, 256) at T≈4000): lax feature-group semantics read
+        # input lanes [2g, 2g+1] per group — one stride-2 channel deinterleave
+        # turns it into TWO true-depthwise convs on the tiled kernel (native
+        # tap-offset dilation, no zero taps).  Measured on the full SS bf16
+        # forward, interleaved with the 2·k-tap unroll it replaces:
+        # 18.9 → 17.76 ms (on top of the depthwise route above).
+        from ..ops.dwconv_pallas import dwconv1d_pallas_tiled
+
+        pads = _norm_pad(padding)
+        y = (dwconv1d_pallas_tiled(x[..., 0::2], w[:, 0, :], pads=pads, dilation=dilation)
+             + dwconv1d_pallas_tiled(x[..., 1::2], w[:, 1, :], pads=pads, dilation=dilation))
     elif (groups > 1 and w.shape[1] == 1 and w.shape[2] == groups == x.shape[-1]
             and stride == 1 and w.shape[0] <= _DW_UNROLL_MAX_TAPS
             and x.size * w.shape[0] <= _DW_UNROLL_MAX_VOLUME):

@@ -96,10 +96,11 @@ def dwconv1d_pallas(x, w, *, pads=(0, 0), block_rows: int = 8,
     return out[:b]
 
 
-def _kernel_tiled(x_ref, w_ref, o_ref, scratch, sem, *, k, tile, n_rows):
+def _kernel_tiled(x_ref, w_ref, o_ref, scratch, sem, *, k, tile, n_rows, dilation):
     """One program computes a (tile, 128) output block for one (batch row,
     time tile, lane chunk): DMA the halo'd input strip from HBM into VMEM,
-    then the k-tap shifted accumulate (all slices at static sublane offsets)."""
+    then the k-tap shifted accumulate (all slices at static sublane offsets;
+    dilation is just a tap-offset stride — no zero taps are spent)."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     ci = pl.program_id(2)
@@ -112,11 +113,11 @@ def _kernel_tiled(x_ref, w_ref, o_ref, scratch, sem, *, k, tile, n_rows):
     rows = scratch[:]
     acc = rows[0:tile].astype(jnp.float32) * w_ref[0]
     for i in range(1, k):
-        acc = acc + rows[i : i + tile].astype(jnp.float32) * w_ref[i]
+        acc = acc + rows[i * dilation : i * dilation + tile].astype(jnp.float32) * w_ref[i]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def dwconv1d_pallas_tiled(x, w, *, pads=(0, 0), tile: int = 256,
+def dwconv1d_pallas_tiled(x, w, *, pads=(0, 0), tile: int = 256, dilation: int = 1,
                           interpret: bool = False):
     """Long-time-axis twin of :func:`dwconv1d_pallas` (same contract).
 
@@ -142,21 +143,22 @@ def dwconv1d_pallas_tiled(x, w, *, pads=(0, 0), tile: int = 256,
         raise ValueError(f"weight shape {w.shape} != (k, {c})")
     if w.dtype != x.dtype:
         raise TypeError(f"conv dtype mismatch: x {x.dtype} vs w {w.dtype}")
-    t_out = t + lo + hi - (k - 1)
+    span = (k - 1) * dilation  # receptive-field halo
+    t_out = t + lo + hi - span
     if t_out <= 0:
         raise ValueError(f"non-positive output length {t_out}")
     nt = -(-t_out // tile)
-    n_rows = -(-(tile + k - 1) // 8) * 8  # DMA strip length, sublane-aligned
+    n_rows = -(-(tile + span) // 8) * 8  # DMA strip length, sublane-aligned
     # pad so every tile's halo'd strip exists: last DMA reads
     # [(nt-1)·tile, (nt-1)·tile + n_rows)
     xp = jnp.pad(x, [(0, 0), (lo, (nt - 1) * tile + n_rows - t - lo), (0, 0)])
 
     wf = w.astype(jnp.float32)  # taps are broadcast scalars per lane; keep f32
     out = pl.pallas_call(
-        partial(_kernel_tiled, k=k, tile=tile, n_rows=n_rows),
+        partial(_kernel_tiled, k=k, tile=tile, n_rows=n_rows, dilation=dilation),
         grid=(b, nt, c // 128),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((k, 128), lambda bi, ti, ci: (0, ci),
                          memory_space=pltpu.VMEM),
         ],

@@ -142,12 +142,13 @@ def test_pallas_dwconv1d_matches_core_conv1d():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-@pytest.mark.parametrize("b,t,c,k,pads,dtype,tile", [
-    (2, 1000, 256, 17, (8, 8), "bfloat16", 256),   # SS ff_convm geometry
-    (2, 777, 128, 20, (19, 0), "float32", 128),    # asym causal, t_out % tile != 0
-    (1, 520, 128, 7, (3, 3), "bfloat16", 512),     # single tile covers all
+@pytest.mark.parametrize("b,t,c,k,pads,dtype,tile,dil", [
+    (2, 1000, 256, 17, (8, 8), "bfloat16", 256, 1),   # SS ff_convm geometry
+    (2, 777, 128, 20, (19, 0), "float32", 128, 1),    # asym causal, t_out % tile != 0
+    (1, 520, 128, 7, (3, 3), "bfloat16", 512, 1),     # single tile covers all
+    (1, 1100, 128, 39, (38, 38), "float32", 256, 2),  # SS dilated FSMN memory
 ])
-def test_pallas_dwconv1d_tiled_matches_f64(b, t, c, k, pads, dtype, tile):
+def test_pallas_dwconv1d_tiled_matches_f64(b, t, c, k, pads, dtype, tile, dil):
     """Time-tiled kernel (halo'd DMA strips) vs a float64 numpy reference."""
     from audiojax.ops.dwconv_pallas import dwconv1d_pallas_tiled
 
@@ -155,14 +156,39 @@ def test_pallas_dwconv1d_tiled_matches_f64(b, t, c, k, pads, dtype, tile):
     x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)).astype(dtype)
     w = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32)).astype(dtype)
     xp = np.pad(np.asarray(x, np.float64), [(0, 0), pads, (0, 0)])
-    t_out = t + sum(pads) - (k - 1)
-    ref = sum(xp[:, i : i + t_out, :] * np.asarray(w, np.float64)[i] for i in range(k))
-    out = np.asarray(dwconv1d_pallas_tiled(x, w, pads=pads, tile=tile,
+    t_out = t + sum(pads) - (k - 1) * dil
+    ref = sum(xp[:, i * dil : i * dil + t_out, :] * np.asarray(w, np.float64)[i]
+              for i in range(k))
+    out = np.asarray(dwconv1d_pallas_tiled(x, w, pads=pads, tile=tile, dilation=dil,
                                            interpret=True), np.float64)
     assert out.shape == ref.shape
     scale = np.abs(ref).max()
     tol = 2e-2 if dtype == "bfloat16" else 1e-5
     np.testing.assert_allclose(out / scale, ref / scale, atol=tol)
+
+
+@pytest.mark.parametrize("dil", [1, 2])
+def test_grouped2_deinterleave_matches_lax(dil):
+    """The grouped 2-in/1-out long-T route (channel deinterleave + two tiled
+    depthwise convs) computes exactly lax's feature-group conv: group g reads
+    input lanes [2g, 2g+1] (the SS dilated dense-FSMN memory geometry)."""
+    from audiojax.ops.dwconv_pallas import dwconv1d_pallas_tiled
+
+    rng = np.random.default_rng(11)
+    g, k, t = 128, 9, 600
+    x = jnp.asarray(rng.standard_normal((1, t, 2 * g)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, 2, g)).astype(np.float32))
+    from jax import lax
+
+    pad = dil * (k - 1)
+    want = lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(pad, 0)], rhs_dilation=(dil,),
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g)
+    got = (dwconv1d_pallas_tiled(x[..., 0::2], w[:, 0, :], pads=(pad, 0),
+                                 dilation=dil, interpret=True)
+           + dwconv1d_pallas_tiled(x[..., 1::2], w[:, 1, :], pads=(pad, 0),
+                                   dilation=dil, interpret=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
 @pytest.mark.parametrize("b,t,c,k,pads,dtype", [
